@@ -1,0 +1,113 @@
+"""The misprediction export report (SURVEY §3.2): q04_export_misses.
+
+Pipeline parity with ``rime-logger export-misses`` (cli.py:315-359):
+scan → filter commits → filter rank > 0 → project/rename → window
+frequency → multi-key sort. The hash-checked query carries ASCII
+aliases; the Chinese presentation headers (cli.py:334-339) and the
+UTF-8-BOM CSV sink (cli.py:351-352, ``utf-8-sig`` so Excel opens
+Chinese headers) live in :func:`export_misses_csv` — a thin
+presentation shim over the same DataFrame (SURVEY §7.3.4).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .events_model import COMMIT_TYPE, RANK_SQL, commits
+
+#: ASCII → presentation header mapping (cli.py:334-339).
+REPORT_HEADERS = {
+    "user_input": "用户输入",
+    "actual_choice": "实际选择",
+    "predicted_rank": "程序预测",
+    "selected_rank": "选择排名",
+    "err_freq": "错误频率",
+}
+
+
+def q04_export_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misses report rows: project+rename (P1), tolerant column selection
+    (P2 — select only columns that exist), window frequency (A6/W1),
+    (freq DESC, input ASC) ordering exposed as a rank column."""
+    ev = load_table(spark, sf_dir, "events")
+    misses = commits(ev).where(F.col("rank") > 0)
+    # P2: existence-tolerant selection (cli.py:341) — schema drift guard.
+    want = ["event_id", "user_id", "props", "rank", "missing_col"]
+    have = [c for c in want if c in misses.columns]
+    misses = misses.select(*have)
+    report = misses.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("user_input"),
+        F.col("user_id").cast("string").alias("actual_choice"),
+        F.lit(0).alias("predicted_rank"),
+        F.col("rank").alias("selected_rank"),
+    )
+    report = report.withColumn(
+        "err_freq", F.count(F.lit(1)).over(W.partitionBy("actual_choice"))
+    )
+    order_w = W.orderBy(
+        F.desc("err_freq"), F.asc("actual_choice"), F.asc("event_id")
+    )
+    return report.withColumn("report_pos", F.row_number().over(order_w))
+
+
+def export_misses_csv(df: DataFrame, out_path: str) -> str:
+    """K2 sink: single CSV with UTF-8 BOM and Chinese headers.
+
+    Spark's CSV writer has no BOM option, so we write a part file and
+    prepend the BOM while renaming headers — a presentation-layer shim
+    (5-line class of fix anticipated in SURVEY §4.2). Coalesce(1) is
+    fine: the misses report is already aggregated/human-scale.
+    """
+    tmp = tempfile.mkdtemp(prefix="misses_csv_")
+    try:
+        renamed = df.select(
+            *[F.col(c).alias(REPORT_HEADERS.get(c, c)) for c in df.columns]
+        )
+        (
+            renamed.coalesce(1)
+            .orderBy(REPORT_HEADERS.get("report_pos", "report_pos"))
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        with open(part, "rb") as src, open(out_path, "wb") as dst:
+            dst.write(b"\xef\xbb\xbf")  # UTF-8 BOM (utf-8-sig, cli.py:352)
+            shutil.copyfileobj(src, dst)
+        return out_path
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES = {"q04_export_misses": q04_export_misses}
+
+ORACLE = {
+    "q04_export_misses": f"""
+        WITH misses AS (
+          SELECT event_id, user_id, props, {RANK_SQL} AS rank
+          FROM events
+          WHERE event_type = '{COMMIT_TYPE}' AND {RANK_SQL} > 0
+        ), report AS (
+          SELECT event_id,
+                 json_extract_string(props, '$.k') AS user_input,
+                 CAST(user_id AS VARCHAR) AS actual_choice,
+                 0 AS predicted_rank,
+                 rank AS selected_rank
+          FROM misses
+        ), freq AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY actual_choice) AS err_freq
+          FROM report
+        )
+        SELECT *, CAST(row_number() OVER
+                 (ORDER BY err_freq DESC, actual_choice ASC, event_id ASC) AS INT)
+               AS report_pos
+        FROM freq
+    """,
+}

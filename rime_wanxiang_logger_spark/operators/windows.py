@@ -1,0 +1,148 @@
+"""Window / as-of / top-k queries (SURVEY §2.6, §2.7, §2.10 J1-J2).
+
+q08_freq_window   W1/A6/J2: count-over-partition — the pandas
+                  ``groupby(...).transform('count')`` idiom (cli.py:347)
+                  as a window, not a self-join.
+q09_asof_enrich   W2/T2/J1: last-state-before-event enrichment — the
+                  producer's write-time as-of join between the keypress
+                  stream and the commit stream (lua:356-380 consumed at
+                  lua:215-277), replayed over the event table with
+                  ``last(..., ignorenulls)`` over an ordered window.
+q10_topk_misses   W3/O1/O2: misprediction leaderboard — multi-key sort
+                  with mixed directions (freq DESC, key ASC; cli.py:348)
+                  plus rank numbering.
+
+Scale notes:
+- q08/q09 windows partition by a data key (user_id) → hash-partitioned
+  window exec, no global sort, skew handled by AQE.
+- q10's ordering window runs on ALREADY-AGGREGATED data (≤ #distinct
+  ranks rows), so the single-partition window is a driver-sized step —
+  the correct top-k pattern at 100 TB (aggregate first, order the small
+  result; never globally sort the fact table).
+- Order determinism (SURVEY §7.3.1): the reference leans on file order;
+  Spark has none, so every ordered window keys on (ts, event_id) — the
+  driver's ``event_id`` is the ingest line number and total-order
+  tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .events_model import COMMIT_TYPE, RANK_SQL, commits, with_rank
+
+
+def q08_freq_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row group frequency among misses (rank > 0, cli.py:327+347)."""
+    ev = load_table(spark, sf_dir, "events")
+    misses = commits(ev).where(F.col("rank") > 0)
+    w = W.partitionBy("user_id")
+    return misses.select(
+        "event_id",
+        "user_id",
+        "rank",
+        F.count(F.lit(1)).over(w).alias("user_miss_freq"),
+    )
+
+
+def q09_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich each commit with the most recent PRIOR non-commit event's
+    value in the same session (user) — the Lua state machine's
+    last-input-state carry (lua:184-186, 356-380) as a batch window.
+
+    ``last(CASE WHEN …, ignorenulls=True)`` over rows UNBOUNDED
+    PRECEDING → 1 PRECEDING, ordered by (ts, event_id): strictly-before
+    semantics, deterministic tiebreak.
+    """
+    ev = with_rank(load_table(spark, sf_dir, "events"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_state = F.last(
+        F.when(F.col("event_type") != COMMIT_TYPE, F.col("value")),
+        ignorenulls=True,
+    ).over(w)
+    prior_type = F.last(
+        F.when(F.col("event_type") != COMMIT_TYPE, F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("prior_value", prior_state)
+        .withColumn("prior_type", prior_type)
+        .where(F.col("event_type") == COMMIT_TYPE)
+        .select("event_id", "user_id", "rank", "prior_value", "prior_type")
+    )
+
+
+def q10_topk_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Miss leaderboard: aggregate per key, order by (freq DESC, key ASC)
+    — the exact sort of cli.py:348 with its ascending tiebreak — and
+    keep the top 10 via row_number (deterministic under the total
+    ordering; bubble-sort parity target analyzer.go:239-248)."""
+    ev = load_table(spark, sf_dir, "events")
+    misses = commits(ev).where(F.col("rank") > 0)
+    per_key = misses.groupBy("rank").agg(F.count(F.lit(1)).alias("miss_freq"))
+    w = W.orderBy(F.desc("miss_freq"), F.asc("rank"))
+    return (
+        per_key.withColumn("position", F.row_number().over(w))
+        .where(F.col("position") <= 10)
+        .select("position", "rank", "miss_freq")
+    )
+
+
+QUERIES = {
+    "q08_freq_window": q08_freq_window,
+    "q09_asof_enrich": q09_asof_enrich,
+    "q10_topk_misses": q10_topk_misses,
+}
+
+ORACLE = {
+    "q08_freq_window": f"""
+        WITH misses AS (
+          SELECT event_id, user_id, {RANK_SQL} AS rank
+          FROM events
+          WHERE event_type = '{COMMIT_TYPE}' AND {RANK_SQL} > 0
+        )
+        SELECT event_id, user_id, rank,
+               COUNT(*) OVER (PARTITION BY user_id) AS user_miss_freq
+        FROM misses
+    """,
+    "q09_asof_enrich": f"""
+        WITH ev AS (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                 value, {RANK_SQL} AS rank
+          FROM events
+        ), enriched AS (
+          SELECT event_id, user_id, event_type, rank,
+            last_value(CASE WHEN event_type <> '{COMMIT_TYPE}' THEN value END
+                       IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prior_value,
+            last_value(CASE WHEN event_type <> '{COMMIT_TYPE}' THEN event_type END
+                       IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prior_type
+          FROM ev
+        )
+        SELECT event_id, user_id, rank, prior_value, prior_type
+        FROM enriched WHERE event_type = '{COMMIT_TYPE}'
+    """,
+    "q10_topk_misses": f"""
+        WITH per_key AS (
+          SELECT {RANK_SQL} AS rank, COUNT(*) AS miss_freq
+          FROM events
+          WHERE event_type = '{COMMIT_TYPE}' AND {RANK_SQL} > 0
+          GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY miss_freq DESC, rank ASC) AS INT)
+                 AS position,
+               rank, miss_freq
+        FROM per_key
+        QUALIFY position <= 10
+    """,
+}

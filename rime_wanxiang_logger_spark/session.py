@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test harness (local[N], one JVM);
+every setting is also the right *shape* for a real cluster:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  join-strategy switching — the knobs that keep a 1000-executor plan
+  healthy without hand-tuning per query.
+- ``spark.sql.shuffle.partitions`` ≈ cores locally; on a cluster AQE
+  coalesces from a high initial value, so the static number matters less.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (naive/UTC) and are deployment-independent.
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver's ``events``
+  table stores TIMESTAMP(NANOS) which Spark's vectorized parquet reader
+  rejects; we read nanos as long and convert in the source layer
+  (sources/readers.py) — a reader shim, not a data rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "rime_wanxiang_logger_spark",
+    cores: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine conf to an externally created
+    session (the driver harness builds its own SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

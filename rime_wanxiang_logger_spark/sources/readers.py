@@ -1,0 +1,97 @@
+"""Sources: parquet star-schema loader + PERMISSIVE JSONL event reader.
+
+Reference parity:
+- S1 whole-file JSONL scan with inference (cli.py:276) → schema'd
+  ``spark.read.json`` (no inference in prod: fixed RIME_EVENT_SCHEMA).
+- S2 streaming scan with malformed-line tolerance
+  (analyzer.go:51-87: blank-line skip 64-66, bad-JSON skip 70-74) →
+  ``mode=PERMISSIVE`` + ``_corrupt_record`` quarantine column; Spark's
+  iterator execution already gives the bounded-memory property the Go
+  scanner hand-codes.
+- The event_type filter the Go scan pushes down by hand
+  (analyzer.go:77-79) is expressed as a plain ``where`` and pushed into
+  the parquet scan by Catalyst (PushDownPredicates) — verified in
+  plans/inspect.py.
+
+Scale notes (100 TB): the loader takes any directory of parquet; on a
+real lake the events table would be written partitioned by
+``event_date`` so date predicates prune partitions before any IO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import RIME_EVENT_SCHEMA, STAR_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; normalizes the events ns-timestamp shim.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+    a long we convert to microsecond TIMESTAMP_NTZ (matching how the
+    DuckDB oracle's CAST(ts AS TIMESTAMP) truncates ns → us).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in STAR_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star table as a temp view for the SQL API."""
+    for t in STAR_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_rime_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format JSONL event log tolerantly (S1/S2/T5).
+
+    Malformed lines land in ``_corrupt_record`` (PERMISSIVE); blank lines
+    are dropped by the JSON source itself. Downstream queries filter
+    ``_corrupt_record IS NULL`` — same observable semantics as the Go
+    scanner's skip-and-warn (analyzer.go:64-74), with the bad rows kept
+    queryable for ops instead of lost to a stderr warning.
+    """
+    return (
+        spark.read.schema(RIME_EVENT_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def rime_events_clean(df: DataFrame) -> DataFrame:
+    """Valid (non-corrupt) events with a parsed event timestamp.
+
+    Filters on ``event_type IS NOT NULL`` rather than on the corrupt
+    column: under PERMISSIVE a malformed line yields NULL for every
+    schema field, and Spark disallows plans whose only referenced raw
+    column is ``_corrupt_record`` (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN — e.g. a count() after the filter prunes to
+    exactly that). The discriminator is NOT NULL on every event the
+    producer writes (input_habit_logger.lua:126-163), so this is the
+    same skip semantics as analyzer.go:64-74.
+    """
+    return df.where(F.col("event_type").isNotNull()).withColumn(
+        "ts", F.to_timestamp("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSX")
+    )
+
+
+def ingest_rime_jsonl(spark: SparkSession, path: str, bronze_dir: str) -> DataFrame:
+    """Ingest JSONL → bronze parquet, returning the bronze DataFrame.
+
+    The lake-bronze hop every 100 TB pipeline does anyway (columnar,
+    splittable, stats for pushdown); it is also how corrupt-record rows
+    become freely queryable (the raw-JSON corrupt-only-plan restriction
+    above does not apply to the parquet copy).
+    """
+    read_rime_jsonl(spark, path).write.mode("overwrite").parquet(bronze_dir)
+    return spark.read.parquet(bronze_dir)
