@@ -1,0 +1,306 @@
+"""Deduplication operators for LLM-data pipelines (north star M8).
+
+q21_dedup_exact     exact dedup: hash-groupBy on normalized-content
+                    fingerprint, min-id survivor election
+q22_minhash_lsh     near-dup candidate generation: shingle → MinHash
+                    signature → LSH band join
+q23_simhash         16-bit SimHash per doc + band keys for hamming
+                    bucketing
+q24_ngram_jaccard   exact n-gram Jaccard verification of the LSH
+                    candidates (the verify stage of the dedup pipeline)
+
+Design for 100 TB:
+- q21 is one hash-aggregate on the fingerprint — map-side combine
+  reduces each partition to its distinct fingerprints before shuffle.
+- q22 never forms the quadratic pair space: docs are joined only
+  within LSH band buckets, so the shuffle is O(docs × bands) and the
+  join output is the candidate set itself (tunable precision/recall by
+  bands × rows-per-band). This is the canonical MinHash-LSH layout.
+- q24 computes exact Jaccard ONLY for band-collision candidates —
+  verify-after-block, never all-pairs.
+
+Determinism / oracle parity: hashes are md5 hex strings (identical in
+Spark and DuckDB); a MinHash over the lexicographic min of
+``md5(seed || '|' || shingle)`` is a valid uniform MinHash family and
+reproducible in ANSI SQL — chosen over xxhash64 precisely so the
+oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+SHINGLE_WORDS = 3
+
+# 1-indexed shingle list over the word array; empty when < SHINGLE_WORDS
+# words (guard: Spark's sequence(1, 0) would count DOWN, not empty).
+_SHINGLES_SPARK = (
+    "CASE WHEN size(split(text, ' ')) < {k} THEN array() "
+    "ELSE transform(sequence(1, size(split(text, ' ')) - {k1}), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, {k}))) END"
+).format(k=SHINGLE_WORDS, k1=SHINGLE_WORDS - 1)
+
+_SHINGLES_DUCK = (
+    "CASE WHEN len(string_split(text, ' ')) < {k} THEN [] "
+    "ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - {k1}), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+{k1}], ' ')) END"
+).format(k=SHINGLE_WORDS, k1=SHINGLE_WORDS - 1)
+
+
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups on the normalized fingerprint; the kept
+    representative is the smallest doc_id (deterministic survivor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
+    )
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → MinHash signature columns h0..h{N_HASHES-1}."""
+    sh = _shingled(docs)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+            for s in range(N_HASHES)
+        ]
+    )
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) — one row per LSH band."""
+    r = N_HASHES // N_BANDS
+    entries = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(F.concat(*[F.col(f"h{j * r + t}") for t in range(r)])).alias(
+                "bsig"
+            ),
+        )
+        for j in range(N_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.bsig")
+
+
+def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs with signature-estimated Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _signatures(docs)
+    bands = _bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (agree / F.lit(N_HASHES)).alias("est_jaccard")
+        )
+    )
+
+
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document + two 8-bit band keys (hamming-
+    distance bucketing: near-identical docs collide on ≥1 half)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    # 16-bit token hash from the first 4 hex chars of md5, via an
+    # engine-portable hex decode (no conv() in DuckDB).
+    hx = "instr('0123456789abcdef', substring(md5(token), {i}, 1)) - 1"
+    h16 = " + ".join(
+        f"(({hx.format(i=i + 1)}) * {16 ** (3 - i)})" for i in range(4)
+    )
+    tok = tok.withColumn("h", F.expr(h16).cast("int"))
+    bitsums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(16)
+    ).cast("int")
+    return bitsums.select("doc_id", simhash.alias("simhash")).select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("band_lo"),
+        F.expr("shiftright(simhash, 8) & 255").cast("int").alias("band_hi"),
+    )
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for the LSH candidate pairs (the
+    verify stage over q22's blocked candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q22_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingled(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
+    inter = (
+        pairs.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUERIES = {
+    "q21_dedup_exact": q21_dedup_exact,
+    "q22_minhash_lsh": q22_minhash_lsh,
+    "q23_simhash": q23_simhash,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
+}
+
+_R = N_HASHES // N_BANDS
+
+_SIG_SQL = ", ".join(
+    f"min(md5('{s}|' || sh)) AS h{s}" for s in range(N_HASHES)
+)
+_BAND_ROWS = ", ".join(
+    "({j}, md5({parts}))".format(
+        j=j, parts=" || ".join(f"h{j * _R + t}" for t in range(_R))
+    )
+    for j in range(N_BANDS)
+)
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES)
+)
+
+_CAND_CTE = f"""
+        shingles AS (
+          SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+        ),
+        sig AS (
+          SELECT doc_id, {_SIG_SQL} FROM shingles GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, b.band, b.bsig
+          FROM sig, LATERAL (VALUES {_BAND_ROWS}) AS b(band, bsig)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        )
+"""
+
+_HX_DUCK = "strpos('0123456789abcdef', substring(md5(token), {i}, 1)) - 1"
+_H16_DUCK = " + ".join(
+    f"(({_HX_DUCK.format(i=i + 1)}) * {16 ** (3 - i)})" for i in range(4)
+)
+_BITSUM_SQL = ", ".join(
+    f"CAST(SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{i}"
+    for i in range(16)
+)
+_SIMHASH_SQL = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+
+ORACLE = {
+    "q21_dedup_exact": """
+        SELECT md5(lower(trim(text))) AS fp,
+               MIN(doc_id) AS survivor_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "q22_minhash_lsh": f"""
+        WITH {_CAND_CTE}
+        SELECT c.doc_a, c.doc_b,
+               ({_AGREE_SQL}) / CAST({N_HASHES} AS DOUBLE) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    """,
+    "q23_simhash": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), hashed AS (
+          SELECT doc_id, CAST({_H16_DUCK} AS INT) AS h FROM tok
+        ), bitsums AS (
+          SELECT doc_id, {_BITSUM_SQL} FROM hashed GROUP BY doc_id
+        ), sh AS (
+          SELECT doc_id, CAST({_SIMHASH_SQL} AS INT) AS simhash FROM bitsums
+        )
+        SELECT doc_id, simhash,
+               simhash % 256 AS band_lo,
+               CAST((simhash >> 8) & 255 AS INT) AS band_hi
+        FROM sh
+    """,
+    "q24_ngram_jaccard": f"""
+        WITH {_CAND_CTE},
+        dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN dsh a ON a.doc_id = c.doc_a
+          JOIN dsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               COALESCE(i.n_inter, 0) AS n_inter,
+               COALESCE(i.n_inter, 0)
+                 / (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+    """,
+}

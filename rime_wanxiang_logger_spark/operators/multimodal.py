@@ -1,0 +1,126 @@
+"""Multimodal-column plumbing (north star M8).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata;
+decode / feature-extraction runs as Arrow-batched pandas over
+``mapInPandas``. The container has no image/audio libraries, so the
+DECODE step is a deterministic fake (clearly marked) — but everything
+Spark-side is real and tested: the binary column, the metadata struct,
+the mapInPandas batch iteration, the output schema, and the
+partition-parallel execution shape.
+
+q32_multimodal_decode  binary payload → per-item metadata via
+                       mapInPandas (oracle-checkable because the fake
+                       decode derives only from byte length + md5,
+                       both expressible in SQL)
+
+``decode_image_real`` is the production extension point: same
+signature, raises NotImplementedError unless PIL is importable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+
+_OUT_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, checksum string, "
+    "thumb_w bigint, thumb_h bigint"
+)
+
+
+def make_fake_decode_batch():
+    """Deterministic FAKE decoder factory: real pipelines put
+    PIL/ffmpeg here.
+
+    Returns a CLOSURE (not a module-level function) on purpose:
+    cloudpickle serializes closures by value, so Spark's Python workers
+    need neither this package on their sys.path nor the driver's cwd —
+    a module-level function would hit ModuleNotFoundError whenever the
+    driver process runs outside the repo root. Every Python-UDF entry
+    point in this engine follows this rule.
+
+    The decoder consumes Arrow batches of (doc_id, payload<bytes>) and
+    emits metadata; the 'thumbnail dims' are content-derived so the
+    plumbing has data-dependent output to verify.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(len),
+                    "checksum": payload.map(
+                        lambda b: _hashlib.md5(b).hexdigest()
+                    ),
+                    "thumb_w": payload.map(lambda b: len(b) % 64 + 1),
+                    "thumb_h": payload.map(
+                        lambda b: b[0] % 32 + 1 if len(b) else 0
+                    ),
+                }
+            )
+
+    return decode
+
+
+def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Production decode path — requires an image library."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "image decode requires PIL; not available in this container"
+        ) from e
+    raise NotImplementedError("wire PIL decode here")  # pragma: no cover
+
+
+def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal framing: opaque bytes + typed metadata struct.
+
+    (Synthesized from documents.text since the driver ships no real
+    media; at ingest this would be the raw object bytes.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("content_len"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → metadata through the Arrow/pandas decode path."""
+    bt = binary_table(spark, sf_dir).select("doc_id", "payload")
+    return bt.mapInPandas(make_fake_decode_batch(), schema=_OUT_SCHEMA)
+
+
+QUERIES = {"q32_multimodal_decode": q32_multimodal_decode}
+
+# The fake decode is SQL-expressible (ASCII text ⇒ md5(text) = md5(bytes);
+# byte[0] = ascii code of first char).
+ORACLE = {
+    "q32_multimodal_decode": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS thumb_w,
+               CAST(CASE WHEN length(text) > 0
+                         THEN ascii(substring(text, 1, 1)) % 32 + 1
+                         ELSE 0 END AS BIGINT) AS thumb_h
+        FROM documents
+    """,
+}

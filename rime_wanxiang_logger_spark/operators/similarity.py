@@ -1,0 +1,209 @@
+"""Similarity search over the embedding column (north star M8).
+
+q25_embedding_neardup  cosine-threshold near-duplicate pairs
+q26_ann_topk           brute-force cosine top-k for a query subset
+                       (the exactness baseline every ANN variant is
+                       judged against)
+q27_ann_lsh            random-hyperplane (sign) LSH bucketing — the
+                       scale path: candidate generation by signature
+                       bucket instead of all-pairs
+
+Scale design:
+- q26 is a broadcast cross join: the query subset is tiny (0.1 % of
+  vectors), so it broadcasts and the big side streams — no shuffle of
+  the corpus; per-query top-k via window on the (small) scored set.
+- q25 computes pairs only above a high threshold; at 100 TB this exact
+  form is replaced by q27's bucketed candidates + q25's scoring —
+  demonstrated here as threshold-join since the test corpus is small.
+- q27's signature is 8 sign bits w.r.t. data-derived hyperplanes (the
+  first 8 vectors) — deterministic, no RNG, oracle-replayable; vectors
+  hash to one bucket each, so candidate pairs come from a groupBy,
+  O(bucket²) not O(corpus²).
+
+Determinism: dot products fold left-to-right over the array in both
+engines (Spark ``aggregate`` / DuckDB ``list_sum`` over the index
+list), floats are cast to double first, and emitted scores are rounded
+to 9 dp, so oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+
+NEARDUP_THRESHOLD = 0.35
+TOPK = 3
+QUERY_STRIDE = 100  # vec_id % stride == 0 → query set
+N_PLANES = 8
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Sequential-fold dot product of two double-array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(
+        f"aggregate(transform({a}, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    ))
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+
+
+def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact form; see module doc
+    for the bucketed form used at scale)."""
+    v = _vecs(spark, sf_dir)
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        _norm("v").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm("v").alias("nb"),
+    )
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 9))
+        .where(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for the strided query subset; query side
+    broadcast, corpus side streamed."""
+    v = _vecs(spark, sf_dir)
+    q = v.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("vq"),
+        _norm("v").alias("nq"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("vc"),
+        _norm("v").alias("nc"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot("vq", "vc") / (F.col("nq") * F.col("nc")), 9),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= TOPK)
+        .select("q_id", "pos", "n_id", "cosine")
+    )
+
+
+def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH signatures: 8 bits = sign of dot with the first 8
+    vectors as hyperplanes. Output per-vector signature + bucket
+    population (the candidate-set size a bucketed ANN would scan)."""
+    v = _vecs(spark, sf_dir)
+    planes = v.where(F.col("vec_id") < N_PLANES).select(
+        F.col("vec_id").alias("p_id"), F.col("v").alias("vp")
+    )
+    sig = (
+        v.crossJoin(F.broadcast(planes))
+        .withColumn("bit", F.when(_dot("v", "vp") > 0, 1).otherwise(0))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2.0), F.col("p_id")).cast("bigint")
+            )
+            .cast("int")
+            .alias("sig")
+        )
+    )
+    pop = sig.groupBy("sig").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return sig.join(pop, "sig").select("vec_id", "sig", "bucket_n")
+
+
+QUERIES = {
+    "q25_embedding_neardup": q25_embedding_neardup,
+    "q26_ann_topk": q26_ann_topk,
+    "q27_ann_lsh": q27_ann_lsh,
+}
+
+_DOT_DUCK = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+)
+_NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+_V = "CAST(embedding AS DOUBLE[])"
+
+ORACLE = {
+    "q25_embedding_neardup": f"""
+        WITH v AS (
+          SELECT vec_id, {_V} AS v, {_NORM_DUCK.format(a=_V)} AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DOT_DUCK.format(a="a.v", b="b.v")} / (a.nrm * b.nrm), 9)
+                 AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round({_DOT_DUCK.format(a="a.v", b="b.v")} / (a.nrm * b.nrm), 9)
+              >= CAST({NEARDUP_THRESHOLD} AS DOUBLE)
+    """,
+    "q26_ann_topk": f"""
+        WITH v AS (
+          SELECT vec_id, {_V} AS v, {_NORM_DUCK.format(a=_V)} AS nrm
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 round({_DOT_DUCK.format(a="q.v", b="c.v")} / (q.nrm * c.nrm), 9)
+                   AS cosine
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % {QUERY_STRIDE} = 0
+        )
+        SELECT q_id,
+               CAST(row_number() OVER
+                 (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT)
+                 AS pos,
+               n_id, cosine
+        FROM scored
+        QUALIFY pos <= {TOPK}
+    """,
+    "q27_ann_lsh": f"""
+        WITH v AS (
+          SELECT vec_id, {_V} AS v FROM embeddings
+        ), planes AS (
+          SELECT vec_id AS p_id, v AS vp FROM v WHERE vec_id < {N_PLANES}
+        ), bits AS (
+          SELECT v.vec_id,
+                 CASE WHEN {_DOT_DUCK.format(a="v.v", b="p.vp")} > 0
+                      THEN 1 ELSE 0 END AS bit,
+                 p.p_id
+          FROM v, planes p
+        ), sig AS (
+          SELECT vec_id,
+                 CAST(SUM(bit * CAST(pow(2.0, p_id) AS BIGINT)) AS INT) AS sig
+          FROM bits GROUP BY vec_id
+        ), pop AS (
+          SELECT sig, COUNT(*) AS bucket_n FROM sig GROUP BY sig
+        )
+        SELECT s.vec_id, s.sig, p.bucket_n
+        FROM sig s JOIN pop p USING (sig)
+    """,
+}

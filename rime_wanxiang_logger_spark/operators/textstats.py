@@ -1,0 +1,195 @@
+"""Text-analysis operators for LLM-data pipelines (north star M8).
+
+q28_lang_id        n-gram/stopword-heuristic language ID → confusion
+                   matrix against the labeled ``lang`` column
+q29_text_quality   quality scoring: token stats, stopword ratio,
+                   composite score + keep/drop flag
+q30_token_count    whitespace tokens, regex word tokens, BPE-ish
+                   length/4 estimate
+q31_fingerprint    document fingerprints: exact, normalized, bag-of-
+                   words (order-insensitive) — the keys exact dedup
+                   hangs off
+
+All pure built-in expressions (split/filter/transform/regexp_count/
+md5) inside whole-stage codegen; per-doc work is embarrassingly
+parallel, the only shuffle is q28's tiny confusion-matrix aggregate.
+At 100 TB these run as a single scan stage over the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+
+# Pseudo-stopword lists over the synthetic corpus vocabulary; the
+# *pattern* (per-language marker lists, argmax score) is the real
+# language-ID heuristic — swap lists for real ones in production.
+LANG_MARKERS = {
+    "en": ("the", "a", "fast", "slow", "value", "order"),
+    "de": ("scan", "join", "merge", "hash"),
+    "fr": ("query", "window", "filter", "sort"),
+    "zh": ("spark", "stream", "batch", "row"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _in_list(words_expr: str, items: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in items)
+    return f"size(filter({words_expr}, w -> w IN ({lst})))"
+
+
+def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each language's marker hits per doc, argmax with a
+    deterministic tie-break (en > de > fr > zh), then cross-tab
+    predicted vs labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(_in_list(w, items)).alias(f"score_{code}")
+            for code, items in LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_zh")),
+            "en",
+        )
+        .when(
+            (F.col("score_de") >= F.col("score_fr"))
+            & (F.col("score_de") >= F.col("score_zh")),
+            "de",
+        )
+        .when(F.col("score_fr") >= F.col("score_zh"), "fr")
+        .otherwise("zh")
+    )
+    return (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q29_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    n_tokens = F.expr(f"size({w})")
+    stop_hits = F.expr(_in_list(w, STOPWORDS))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.length(F.regexp_replace("text", " ", "")) / n_tokens).alias(
+            "avg_token_len"
+        ),
+        (stop_hits / n_tokens).alias("stop_ratio"),
+        (
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * F.lit(0.5)
+            + (stop_hits / n_tokens) * F.lit(0.5)
+        ).alias("quality_score"),
+        (
+            (
+                F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * F.lit(0.5)
+                + (stop_hits / n_tokens) * F.lit(0.5)
+            )
+            > 0.2
+        ).alias("keep"),
+    )
+
+
+def q30_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("bigint").alias(
+            "re_tokens"
+        ),
+        F.ceil(F.length("text") / 4).cast("bigint").alias("bpe_est"),
+    )
+
+
+def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.md5(F.lower(F.trim("text"))).alias("fp_norm"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.split("text", " ")))).alias("fp_bag"),
+    )
+
+
+QUERIES = {
+    "q28_lang_id": q28_lang_id,
+    "q29_text_quality": q29_text_quality,
+    "q30_token_count": q30_token_count,
+    "q31_fingerprint": q31_fingerprint,
+}
+
+
+def _sql_in_list(items: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in items)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({lst})))"
+
+
+_SCORES = ", ".join(
+    f"CAST({_sql_in_list(items)} AS INT) AS score_{code}"
+    for code, items in LANG_MARKERS.items()
+)
+
+ORACLE = {
+    "q28_lang_id": f"""
+        WITH scored AS (
+          SELECT doc_id, lang, {_SCORES} FROM documents
+        )
+        SELECT lang,
+          CASE WHEN score_en >= score_de AND score_en >= score_fr
+                    AND score_en >= score_zh THEN 'en'
+               WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de'
+               WHEN score_fr >= score_zh THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          COUNT(*) AS n_docs
+        FROM scored GROUP BY 1, 2
+    """,
+    "q29_text_quality": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 CAST(length(replace(text, ' ', '')) AS INT) AS n_nonspace,
+                 CAST({_sql_in_list(STOPWORDS)} AS INT) AS stop_hits
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               n_nonspace / n_tokens AS avg_token_len,
+               stop_hits / n_tokens AS stop_ratio,
+               LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+                 * CAST(0.5 AS DOUBLE)
+                 + (stop_hits / n_tokens) * CAST(0.5 AS DOUBLE) AS quality_score,
+               (LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+                 * CAST(0.5 AS DOUBLE)
+                 + (stop_hits / n_tokens) * CAST(0.5 AS DOUBLE))
+                 > CAST(0.2 AS DOUBLE) AS keep
+        FROM t
+    """,
+    "q30_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+                 AS re_tokens,
+               CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS bpe_est
+        FROM documents
+    """,
+    "q31_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS fp_exact,
+               md5(lower(trim(text))) AS fp_norm,
+               md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                 AS fp_bag
+        FROM documents
+    """,
+}
