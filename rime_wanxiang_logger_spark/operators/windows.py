@@ -93,10 +93,46 @@ def q10_topk_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SECONDS = 1800
+
+
+def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (T1): a new session starts when a user
+    is idle > 30 min. Batch formulation: lag + cumulative conditional
+    sum over (ts, event_id); the streaming twin is
+    ``F.session_window(ts, gap)`` (streaming/twin.py) — same session
+    boundaries by construction.
+
+    Times are compared in unix microseconds (BIGINT) to keep the
+    oracle engine-agnostic about timestamp internals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.sum(is_new).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
 QUERIES = {
     "q08_freq_window": q08_freq_window,
     "q09_asof_enrich": q09_asof_enrich,
     "q10_topk_misses": q10_topk_misses,
+    "q33_sessionize": q33_sessionize,
 }
 
 ORACLE = {
@@ -131,6 +167,30 @@ ORACLE = {
         )
         SELECT event_id, user_id, rank, prior_value, prior_type
         FROM enriched WHERE event_type = '{COMMIT_TYPE}'
+    """,
+    "q33_sessionize": f"""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, ts_us,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+                 THEN 1 ELSE 0 END AS is_new
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), sess AS (
+          SELECT user_id, ts_us,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) AS session_end_us
+        FROM sess GROUP BY user_id, session_id
     """,
     "q10_topk_misses": f"""
         WITH per_key AS (

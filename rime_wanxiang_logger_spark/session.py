@@ -62,4 +62,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stateful streaming disables AQE, so the static setting matters:
+    # default 200 over-parallelizes local mode badly.
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
     return spark

@@ -1,0 +1,9 @@
+from .twin import (  # noqa: F401
+    EVENTS_STREAM_SCHEMA,
+    hourly_rollup_stream,
+    read_events_stream,
+    read_rime_jsonl_stream,
+    run_stream_to_memory,
+    session_window_stream,
+    stateful_asof_stream,
+)

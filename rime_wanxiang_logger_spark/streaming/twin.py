@@ -1,0 +1,157 @@
+"""Structured-Streaming twin of the engine (SURVEY §2.9, M7).
+
+The reference's producer is a single-threaded stateful stream processor
+(input_habit_logger.lua:184-186 state; 283-395 transitions); its file is
+an append-only stream. This module re-expresses that live pipeline on
+Spark Structured Streaming:
+
+- ``read_events_stream`` / ``read_rime_jsonl_stream``: the tailing scan
+  (the Go bufio.Scanner loop, analyzer.go:59-80, as an unbounded source)
+- ``hourly_rollup_stream``: watermarked tumbling-window aggregation
+  (T6 extension — late events beyond the watermark are dropped exactly
+  once instead of double-counted)
+- ``session_window_stream``: T1 session bracketing via
+  ``F.session_window`` — the streaming twin of batch q33_sessionize
+  (same 30-min gap ⇒ identical session boundaries on the same data)
+- ``stateful_asof_stream``: T2/T4 last-state carry per user via
+  ``applyInPandasWithState`` — the Lua state machine
+  (last_input_state_for_commit, lua:356-380) as explicit keyed state
+
+At scale: file sources become Kafka; the state store becomes RocksDB
+(``spark.sql.streaming.stateStore.providerClass``); watermarks bound
+state size (SURVEY §7.3.6).
+
+Test harness: parquet-dir sources + memory sink driven synchronously by
+``processAllAvailable`` (tests/test_streaming.py) — batch/stream parity
+is asserted against the batch queries on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import RIME_EVENT_SCHEMA
+from ..sources.readers import load_table
+from ..operators.windows import SESSION_GAP_SECONDS
+
+EVENTS_STREAM_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table (parquet file source).
+
+    The schema is declared with ``ts bigint`` (nanos — file sources
+    need an explicit schema; the nanosAsLong shim applies) and
+    converted exactly as the batch reader does.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        # file sources want a directory; select just the events table
+        # (prefix glob so tests can stage extra events*_N.parquet files)
+        .option("pathGlobFilter", "events*.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def read_rime_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Live tail of a reference-format JSONL log directory (S2 as a
+    stream), PERMISSIVE like the batch reader."""
+    return (
+        spark.readStream.schema(RIME_EVENT_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .where(F.col("event_type").isNotNull())
+        .withColumn("ts", F.to_timestamp("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSX"))
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup (streaming twin of q13)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("bucket_hour"), "event_type", "n_events"
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T1 sessions via session_window(gap) — twin of batch q33."""
+    gap = f"{SESSION_GAP_SECONDS} seconds"
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def stateful_asof_stream(events: DataFrame) -> DataFrame:
+    """T2/T4: per-user last-state carry as explicit streaming state.
+
+    For every commit-analog event, emit the most recent prior
+    non-commit value — the Lua ``last_input_state_for_commit``
+    machine (lua:356-380, consumed at lua:215-277) keyed by user.
+    State is one scalar per user; the timeout bounds it (T5).
+
+    NB: correctness matches batch q09 only when each user's events
+    arrive in order within a micro-batch (guaranteed in the test
+    harness which feeds one sorted batch; production would pair this
+    with a Kafka source partitioned by user).
+    """
+
+    def make_fn():
+        # Closure on purpose — see operators/multimodal.py rule.
+        def fn(key, pdfs, state: GroupState):
+            import pandas as _pd
+
+            last = state.get[0] if state.exists else None
+            out = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for row in pdf.itertuples(index=False):
+                    if row.event_type == "purchase":
+                        out.append(
+                            (row.event_id, key[0], row.value, last)
+                        )
+                    else:
+                        last = row.value
+            state.update((last,))
+            yield _pd.DataFrame(
+                out, columns=["event_id", "user_id", "value", "prior_value"]
+            )
+
+        return fn
+
+    return events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).groupBy("user_id").applyInPandasWithState(
+        make_fn(),
+        outputStructType="event_id bigint, user_id bigint, value double, prior_value double",
+        stateStructType="last double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str):
+    """Drive a bounded 'stream' to completion synchronously; returns the
+    query handle (results in the in-memory table ``name``)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

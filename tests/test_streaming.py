@@ -1,0 +1,159 @@
+"""Streaming-twin tests: batch/stream parity on the same bounded data.
+
+Each stream is a parquet/JSONL file source driven synchronously to
+completion (processAllAvailable) into a memory sink, then compared
+against the equivalent batch query — the engine's differential-testing
+pattern applied to the streaming plane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rime_wanxiang_logger_spark import streaming as st
+from rime_wanxiang_logger_spark.operators.scalars import q13_ts_parse_bucket
+from rime_wanxiang_logger_spark.operators.windows import q09_asof_enrich, q33_sessionize
+
+SMALL_SF = "/root/testdata/sf0.001"
+
+
+def _cleanup(spark, name):
+    for q in spark.streams.active:
+        q.stop()
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+
+
+def test_hourly_rollup_parity(spark):
+    ev = st.read_events_stream(spark, SMALL_SF)
+    q = st.run_stream_to_memory(st.hourly_rollup_stream(ev), "hourly", "append")
+    try:
+        got = {
+            (r["bucket_hour"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM hourly").collect()
+        }
+        batch = (
+            q13_ts_parse_bucket(spark, SMALL_SF)
+            .groupBy("bucket_hour")
+            .agg(F.sum("n_events").alias("n"))
+            .collect()
+        )
+        batch_total = {r["bucket_hour"] for r in batch}
+        # All closed windows match the batch rollup per (hour, type).
+        got_hours = {h for (h, _t) in got}
+        assert got_hours  # the stream produced closed windows
+        from rime_wanxiang_logger_spark.sources.readers import load_table
+
+        bt = (
+            load_table(spark, SMALL_SF, "events")
+            .groupBy(
+                F.date_trunc("hour", "ts").cast("timestamp").alias("h"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        expect = {(r["h"], r["event_type"]): r["n"] for r in bt}
+        for k, v in got.items():
+            assert expect[k] == v, k
+    finally:
+        q.stop()
+
+
+def test_session_window_parity(spark, tmp_path):
+    """Full batch/stream parity needs the watermark to pass every
+    session's end: stage the data in a tmp dir and append a far-future
+    flush event (user_id = -1) after the first pass — the standard
+    trick for closing the tail windows of a bounded stream."""
+    import shutil
+
+    stage = tmp_path / "events_stage"
+    stage.mkdir()
+    shutil.copy(f"{SMALL_SF}/events.parquet", stage / "events.parquet")
+    ev = st.read_events_stream(spark, str(stage))
+    q = st.run_stream_to_memory(
+        st.session_window_stream(ev), "sessions", "append"
+    )
+    flush = spark.createDataFrame(
+        [(10**9, 4102444800_000_000_000, -1, "flush", 0.0, "{}")],
+        st.EVENTS_STREAM_SCHEMA,
+    )
+    tmp_out = tmp_path / "flush_out"
+    flush.coalesce(1).write.parquet(str(tmp_out))
+    import glob as _glob
+
+    shutil.copy(
+        _glob.glob(str(tmp_out / "part-*.parquet"))[0],
+        stage / "events_flush.parquet",
+    )
+    q.processAllAvailable()
+    try:
+        got = (
+            spark.sql(
+                "SELECT user_id, count(*) AS n_sessions,"
+                " sum(n_events) AS n_events FROM sessions"
+                " WHERE user_id >= 0 GROUP BY user_id"
+            )
+            .collect()
+        )
+        got_m = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got}
+        batch = (
+            q33_sessionize(spark, SMALL_SF)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .collect()
+        )
+        batch_m = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch}
+        assert got_m == batch_m
+    finally:
+        q.stop()
+
+
+def test_stateful_asof_parity(spark):
+    ev = st.read_events_stream(spark, SMALL_SF)
+    q = st.run_stream_to_memory(st.stateful_asof_stream(ev), "asof", "append")
+    try:
+        got = {
+            r["event_id"]: r["prior_value"]
+            for r in spark.sql("SELECT * FROM asof").collect()
+        }
+        batch = {
+            r["event_id"]: r["prior_value"]
+            for r in q09_asof_enrich(spark, SMALL_SF).collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
+def test_jsonl_stream_tail(spark, tmp_path):
+    d = tmp_path / "log"
+    d.mkdir()
+    rows = [
+        {"event_type": "session_start", "schema_id": "wanxiang",
+         "timestamp": "2026-08-13T01:00:00.000Z"},
+        {"event_type": "text_committed", "committed_text": "你好",
+         "selected_candidate_rank": 0,
+         "timestamp": "2026-08-13T01:00:01.250Z"},
+        {"event_type": "session_end", "timestamp": "2026-08-13T01:01:00.000Z"},
+    ]
+    with open(d / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = st.read_rime_jsonl_stream(spark, str(d))
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = st.run_stream_to_memory(counts, "tail", "complete")
+    try:
+        got = {r["event_type"]: r["n"] for r in spark.sql("SELECT * FROM tail").collect()}
+        assert got == {"session_start": 1, "text_committed": 1, "session_end": 1}
+    finally:
+        q.stop()
