@@ -52,19 +52,21 @@ def q07_accuracy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_score_sum"),
         F.count_if(F.col("rank") == -1).alias("direct_count"),
     )
+    # Empty-set guards (F6, cli.py:279-288) as NULLIF — also required
+    # under Spark 4's default ANSI mode.
+    valid_n = F.nullif(F.col("valid_selections"), F.lit(0))
+    total_n = F.nullif(F.col("total_commits"), F.lit(0))
     return agg.select(
         "total_commits",
         "valid_selections",
         "first_choice_count",
         "top3_count",
-        (F.col("first_choice_count") / F.col("valid_selections")).alias(
-            "first_choice_rate"
-        ),
-        (F.col("top3_count") / F.col("valid_selections")).alias("top3_rate"),
-        (F.col("_rank_sum") / F.col("valid_selections")).alias("avg_rank"),
-        (F.col("_score_sum") / F.col("valid_selections")).alias("overall_score"),
+        (F.col("first_choice_count") / valid_n).alias("first_choice_rate"),
+        (F.col("top3_count") / valid_n).alias("top3_rate"),
+        (F.col("_rank_sum") / valid_n).alias("avg_rank"),
+        (F.col("_score_sum") / valid_n).alias("overall_score"),
         "direct_count",
-        (F.col("direct_count") / F.col("total_commits")).alias("direct_rate"),
+        (F.col("direct_count") / total_n).alias("direct_rate"),
     )
 
 
@@ -110,12 +112,12 @@ ORACLE = {
         )
         SELECT
           total_commits, valid_selections, first_choice_count, top3_count,
-          first_choice_count / valid_selections AS first_choice_rate,
-          top3_count / valid_selections AS top3_rate,
-          _rank_sum / valid_selections AS avg_rank,
-          _score_sum / valid_selections AS overall_score,
+          first_choice_count / NULLIF(valid_selections, 0) AS first_choice_rate,
+          top3_count / NULLIF(valid_selections, 0) AS top3_rate,
+          _rank_sum / NULLIF(valid_selections, 0) AS avg_rank,
+          _score_sum / NULLIF(valid_selections, 0) AS overall_score,
           direct_count,
-          direct_count / total_commits AS direct_rate
+          direct_count / NULLIF(total_commits, 0) AS direct_rate
         FROM a
     """,
     "q20_rollup": f"""

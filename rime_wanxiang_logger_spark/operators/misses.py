@@ -25,6 +25,7 @@ from .events_model import COMMIT_TYPE, RANK_SQL, commits
 REPORT_HEADERS = {
     "user_input": "用户输入",
     "actual_choice": "实际选择",
+    "predicted": "程序预测",
     "predicted_rank": "程序预测",
     "selected_rank": "选择排名",
     "err_freq": "错误频率",

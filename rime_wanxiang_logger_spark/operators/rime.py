@@ -1,0 +1,137 @@
+"""Reference-faithful queries over the rime event log itself.
+
+These run on DataFrames of RIME_EVENT_SCHEMA (sources.read_rime_jsonl)
+and reproduce the reference CLIs exactly:
+
+accuracy_summary   ``rime-logger analyze``     (cli.py:268-312;
+                   Go twin analyzer.go:91-177)
+misses_report      ``rime-logger export-misses`` (cli.py:315-359;
+                   Go twin analyzer.go:181-264)
+session_ids        T1 session bracketing from session_start markers
+asof_replay        W2/T2: reconstruct each commit's pre-commit input
+                   state from the input_state_changed stream — the
+                   engine-side replay of what the producer does at
+                   write time (lua:356-380 → 215-277)
+
+Semantics preserved bit-for-bit from the reference:
+- rank 0 = first-choice hit (cli.py:291); top-3 is strictly ``< 3``
+  (cli.py:292); -1 = direct-commit sentinel distinct from NULL =
+  preset-pruned (lua:222 vs analyzer.go:110-112);
+- accuracy score = 1/(rank+1) (cli.py:293);
+- misses are strictly ``rank > 0`` (cli.py:327);
+- report sort = (freq DESC, user_input ASC) (cli.py:348);
+- existence-tolerant projection (cli.py:341).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+PAGE_SIZE = 6  # input_habit_logger.lua:223
+
+
+def _commits(events: DataFrame) -> DataFrame:
+    return events.where(F.col("event_type") == "text_committed")
+
+
+def accuracy_summary(events: DataFrame) -> DataFrame:
+    """The 10-metric analyze summary, one row (cli.py:283-309)."""
+    c = _commits(events)
+    rank = F.col("selected_candidate_rank")
+    valid = rank.isNotNull() & (rank >= 0)
+    agg = c.agg(
+        F.count(F.lit(1)).alias("total_commits"),
+        F.count_if(valid).alias("valid_selections"),
+        F.count_if(rank == 0).alias("first_choice_count"),
+        F.count_if(valid & (rank < 3)).alias("top3_count"),
+        F.sum(F.when(valid, rank)).alias("_rank_sum"),
+        F.sum(F.when(valid, F.lit(1.0) / (rank + 1))).alias("_score_sum"),
+        F.count_if(rank == -1).alias("direct_count"),
+    )
+    # Empty-set guards (F6, cli.py:279-288): NULL rates instead of a
+    # division error when there are no commits / no valid selections —
+    # nullif also keeps ANSI mode (Spark 4 default) happy.
+    valid_n = F.nullif(F.col("valid_selections"), F.lit(0))
+    total_n = F.nullif(F.col("total_commits"), F.lit(0))
+    return agg.select(
+        "total_commits",
+        "valid_selections",
+        "first_choice_count",
+        "top3_count",
+        (F.col("first_choice_count") / valid_n).alias("first_choice_rate"),
+        (F.col("top3_count") / valid_n).alias("top3_rate"),
+        (F.col("_rank_sum") / valid_n).alias("avg_rank"),
+        (F.col("_score_sum") / valid_n).alias("overall_score"),
+        "direct_count",
+        (F.col("direct_count") / total_n).alias("direct_rate"),
+    )
+
+
+def misses_report(events: DataFrame) -> DataFrame:
+    """Misprediction rows, frequency-annotated and ordered
+    (cli.py:315-359). ASCII column names; the Chinese-header CSV is
+    operators.misses.export_misses_csv."""
+    c = _commits(events)
+    rank = F.col("selected_candidate_rank")
+    misses = c.where(rank.isNotNull() & (rank > 0))
+    # Existence-tolerant projection (cli.py:341): optional columns may
+    # be pruned by the producer preset.
+    want = {
+        "source_input_buffer": "user_input",
+        "committed_text": "actual_choice",
+        "source_first_candidate": "predicted",
+        "selected_candidate_rank": "selected_rank",
+    }
+    cols = [
+        F.col(src).alias(dst) for src, dst in want.items() if src in c.columns
+    ]
+    report = misses.select(*cols)
+    if "actual_choice" in report.columns:
+        report = report.withColumn(
+            "err_freq",
+            F.count(F.lit(1)).over(W.partitionBy("actual_choice")),
+        )
+        order = [F.desc("err_freq")]
+        if "user_input" in report.columns:
+            order.append(F.asc("user_input"))
+        report = report.orderBy(*order)
+    return report
+
+
+def session_ids(events: DataFrame, order_col: str = "ingest_id") -> DataFrame:
+    """T1: number sessions by cumulative count of session_start markers
+    in ingest order (the reference relies on file order; callers must
+    supply a total-order column, e.g. monotonically_increasing_id at
+    ingest — SURVEY §7.3.1)."""
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    return events.withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.col("event_type") == "session_start", 1).otherwise(0)
+        ).over(w),
+    )
+
+
+def asof_replay(events: DataFrame, order_col: str = "ingest_id") -> DataFrame:
+    """W2/T2: attach to each commit the latest STRICTLY-PRIOR input
+    state (buffer, candidates, first candidate) from the
+    input_state_changed stream — the batch replay of the producer's
+    last_input_state_for_commit carry (lua:184-186, 356-380, consumed
+    at lua:215-277)."""
+    w = (
+        W.partitionBy("session_id")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_state = F.col("event_type") == "input_state_changed"
+
+    def carry(col: str) -> Column:
+        return F.last(F.when(is_state, F.col(col)), ignorenulls=True).over(w)
+
+    with_sessions = session_ids(events, order_col)
+    return (
+        with_sessions.withColumn("replayed_buffer", carry("input_buffer"))
+        .withColumn("replayed_candidates", carry("candidates"))
+        .withColumn("replayed_first", carry("first_candidate"))
+        .where(F.col("event_type") == "text_committed")
+    )

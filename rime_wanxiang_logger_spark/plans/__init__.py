@@ -1,0 +1,10 @@
+from .inspect import (  # noqa: F401
+    explain_str,
+    has_broadcast_join,
+    is_codegen,
+    op_count,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    uses_python_eval,
+)

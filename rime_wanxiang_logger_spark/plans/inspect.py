@@ -1,0 +1,73 @@
+"""Physical-plan inspection: the scale-health checks.
+
+A plan that reads all columns for a 2-column projection, or shuffles a
+broadcastable dimension, is wrong at 100 TB even when the small-SF
+result is right. These helpers turn `.explain("formatted")` into
+assertions so tests/test_plans.py can pin the physical properties:
+
+- filters reach the parquet scan (PushedFilters),
+- projections prune the read schema (ReadSchema),
+- small dims broadcast (BroadcastHashJoin, no exchange on the fact),
+- shuffle (Exchange) counts stay at the expected minimum.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+        # split only between predicates (after a closing paren)
+        out.extend(
+            s.strip() for s in re.split(r"(?<=\)),", m.group(1)) if s.strip()
+        )
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists of each file-scan ReadSchema in the plan."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", explain_str(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c]
+        out.append(cols)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def op_count(df: DataFrame, op: str) -> int:
+    """Count tree occurrences of a physical operator in formatted
+    explain (tree entries render as 'Op (N)'; detail headers as
+    '(N) Op', so this counts each node once)."""
+    return len(re.findall(rf"(?<![A-Za-z]){re.escape(op)} \(\d+\)", explain_str(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (broadcast excluded)."""
+    return op_count(df, "Exchange")
+
+
+def uses_python_eval(df: DataFrame) -> bool:
+    plan = explain_str(df)
+    return any(
+        k in plan
+        for k in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    )
+
+
+def is_codegen(df: DataFrame) -> bool:
+    """True if any span of the plan runs under whole-stage codegen."""
+    return "codegen id" in explain_str(df)

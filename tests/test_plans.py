@@ -1,0 +1,108 @@
+"""Physical-plan assertions: the properties that matter at 100 TB.
+
+Correct results at sf0.01 with a bad plan (unpruned scan, shuffled
+dimension join, Python in the hot path) would still fail at scale —
+these tests pin the plan shape itself.
+"""
+
+from __future__ import annotations
+
+from rime_wanxiang_logger_spark.operators.aggregates import (
+    q07_accuracy_summary,
+    q20_rollup,
+)
+from rime_wanxiang_logger_spark.operators.joins import (
+    q16_join_broadcast,
+    q17_join_multiway,
+)
+from rime_wanxiang_logger_spark.operators.scans import q02_scan_filter_pushdown
+from rime_wanxiang_logger_spark.operators.windows import q10_topk_misses
+from rime_wanxiang_logger_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    is_codegen,
+    op_count,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    uses_python_eval,
+)
+
+
+def test_q02_filter_and_projection_pushdown(spark, sf_dir):
+    df = q02_scan_filter_pushdown(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "EqualTo(event_type,click)" in filters, filters
+    assert "GreaterThan(value,100.0)" in filters, filters
+    schemas = read_schema_columns(df)
+    # scan reads exactly the projected columns + the filter column
+    assert schemas and set(schemas[0]) == {
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+    }, schemas
+
+
+def test_q07_single_pass_aggregate(spark, sf_dir):
+    """The reference fuses 7 aggregates into one Go loop
+    (analyzer.go:139-175); Spark must express that as ONE partial+final
+    hash-aggregate pair over a 2-column pruned scan."""
+    df = q07_accuracy_summary(spark, sf_dir)
+    assert op_count(df, "HashAggregate") == 2, explain_str(df)
+    assert shuffle_count(df) == 1
+    assert "EqualTo(event_type,purchase)" in " ".join(pushed_filters(df))
+    schemas = read_schema_columns(df)
+    assert set(schemas[0]) == {"event_type", "value"}
+
+
+def test_q16_q17_broadcast_no_fact_shuffle(spark, sf_dir):
+    for q in (q16_join_broadcast, q17_join_multiway):
+        df = q(spark, sf_dir)
+        assert has_broadcast_join(df), q.__name__
+        # joins add no shuffle; only the final groupBy exchanges.
+        assert shuffle_count(df) == 1, explain_str(df)
+
+
+def test_q20_rollup_two_stage(spark, sf_dir):
+    df = q20_rollup(spark, sf_dir)
+    # rollup = Expand + partial/final agg; one shuffle.
+    assert shuffle_count(df) == 1, explain_str(df)
+
+
+def test_q10_orders_aggregates_not_facts(spark, sf_dir):
+    """Top-k pattern: the global ordering window must run on the
+    aggregated (small) data — after the groupBy — never as a global
+    sort of the fact table."""
+    df = q10_topk_misses(spark, sf_dir)
+    plan = explain_str(df)
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted explain prints the tree top-down: the Window (applied
+    # later) appears above the aggregate feeding it.
+    assert win_pos < agg_pos
+
+
+def test_scalar_queries_stay_jvm_side(spark, sf_dir):
+    """No Python in the hot path: scalar packs run under whole-stage
+    codegen with zero Python eval operators."""
+    from rime_wanxiang_logger_spark.operators.scalars import (
+        q12_string_predicates,
+        q15_case_when_classify,
+    )
+    from rime_wanxiang_logger_spark.operators.textstats import q29_text_quality
+
+    for q in (q12_string_predicates, q15_case_when_classify, q29_text_quality):
+        df = q(spark, sf_dir)
+        df.collect()  # AQE plans only annotate codegen once finalized
+        assert is_codegen(df), explain_str(df)
+        assert not uses_python_eval(df), q.__name__
+
+
+def test_q26_broadcasts_query_side(spark, sf_dir):
+    from rime_wanxiang_logger_spark.operators.similarity import q26_ann_topk
+
+    df = q26_ann_topk(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
