@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import fanout, load_table
 
 N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
@@ -66,7 +66,9 @@ def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(docs: DataFrame) -> DataFrame:
-    return docs.select(
+    # fanout: ~100 shingles/doc × N_HASHES md5 calls each — hash cost
+    # dominates, parallelize before the explode (readers.fanout doc).
+    return fanout(docs).select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
 
@@ -138,7 +140,7 @@ def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document + two 8-bit band keys (hamming-
     distance bucketing: near-identical docs collide on ≥1 half)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = fanout(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     # 16-bit token hash from the first 4 hex chars of md5, via an

@@ -25,7 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import fanout, load_table
 
 _OUT_SCHEMA = (
     "doc_id bigint, n_bytes bigint, checksum string, "
@@ -104,7 +104,9 @@ def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → metadata through the Arrow/pandas decode path."""
-    bt = binary_table(spark, sf_dir).select("doc_id", "payload")
+    # fanout before the Python stage: one Arrow batch per core instead
+    # of the whole (single-row-group) table through one worker.
+    bt = fanout(binary_table(spark, sf_dir).select("doc_id", "payload"))
     return bt.mapInPandas(make_fake_decode_batch(), schema=_OUT_SCHEMA)
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import fanout, load_table
 
 NEARDUP_THRESHOLD = 0.35
 TOPK = 3
@@ -54,7 +54,10 @@ def _norm(a: str) -> F.Column:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fanout: the 64-dim dot-product folds downstream cost ~µs/pair;
+    # without it the single-row-group test file pins the whole
+    # cross-join stage to one core (see readers.fanout docstring).
+    emb = fanout(load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         "label",

@@ -95,3 +95,19 @@ def ingest_rime_jsonl(spark: SparkSession, path: str, bronze_dir: str) -> DataFr
     """
     read_rime_jsonl(spark, path).write.mode("overwrite").parquet(bronze_dir)
     return spark.read.parquet(bronze_dir)
+
+
+def fanout(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a *small* input before compute-heavy
+    operators (cross joins, per-row hashing, HOF folds, Pandas UDFs).
+
+    Why: the driver's test parquet is one file with ONE row group, so
+    the scan yields a single non-empty split and everything up to the
+    first shuffle runs on one core. On a real lake the input arrives in
+    thousands of splits and this is a no-op-sized shuffle; locally it
+    unlocks full-core parallelism for the expensive stage that follows.
+    Only use where downstream cost per row dwarfs one tiny shuffle —
+    never on plain scan/filter/agg paths (Catalyst handles those).
+    """
+    n = parts or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
