@@ -1,0 +1,423 @@
+"""Scale-oriented extension operators (no reference citation — marked
+**extension** per SURVEY §2.10/§2.11/T6: the reference has no joins,
+windowed rollups, percentiles or pivots; these are the Spark-native
+generalizations a 100 TB deployment of the same engine needs).
+
+q34_tumbling_window   event-time tumbling window rollup (F.window) —
+                      the T6 extension in its Spark-native form (q13
+                      covers the date_trunc formulation).
+q35_asof_join         as-of join of two event sub-streams (purchase ←
+                      most recent prior view per user) via the
+                      union-and-carry formulation — the scalable way
+                      to express merge_asof on Spark: one hash
+                      partition by key, one ordered window, no range
+                      cross product.
+q36_range_join        non-equi (range-bucket) join: orders banded into
+                      price ranges by a broadcast dimension.
+q37_percentiles       exact interpolated percentiles per group
+                      (sort-based — deterministic, unlike float sums).
+q38_cube              CUBE grouping sets over orders.
+q39_pivot             day × event_type pivot (fixed column vocabulary,
+                      so the schema is static — required both for the
+                      oracle and for any production sink).
+q40_salted_agg        two-level skew-salted aggregation, provably
+                      identical to the direct groupBy (exact integer
+                      partials commute) — the salting pattern for
+                      skewed keys at 100 TB, oracle-checked against
+                      the unsalted SQL.
+q41_topk_per_group    row_number top-k inside each group (aggregate-
+                      then-window; the window runs on already-grouped
+                      data, never a global sort of the fact table).
+q42_embedding_centroid  per-label centroid of the embedding column in
+                      (label, dim) long form — posexplode + exact
+                      fixed-point mean per dimension.
+q43_stream_hourly     q13's hourly rollup executed through Structured
+                      Streaming (availableNow trigger, complete-mode
+                      memory sink) — the batch/stream parity proof:
+                      the streaming result hash-matches the same SQL
+                      oracle as the batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.stable import dsum, dsum_expr
+from ..sources.readers import load_table
+
+TUMBLE_HOURS = 6
+PRICE_BAND_WIDTH = 100_000.0
+N_PRICE_BANDS = 7  # covers o_totalprice up to 700k
+SALT_BUCKETS = 16
+TOPK_PER_GROUP = 3
+EMB_DIM = 64
+
+
+def q34_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned tumbling windows over event time (extension T6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{TUMBLE_HOURS} hours").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN (merge_asof semantics): each purchase picks the most
+    recent strictly-prior view by the same user.
+
+    Formulation: both sides live in one relation, so "join" becomes a
+    single window per user ordered by (ts, event_id) with a
+    strictly-before frame — one shuffle on the join key, state O(1) per
+    row, no interval cross product. This is also exactly the Lua
+    producer's write-time carry (lua:356-380) generalized to two typed
+    sub-streams.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_view, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("view_value"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+    )
+    # Exact integer microseconds (no float): session tz is UTC so the
+    # ntz→timestamp cast is a wall-clock identity (see session.py).
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("view_ts").cast("timestamp")
+    )
+    return enriched.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        "view_value",
+        gap.alias("gap_us"),
+    )
+
+
+def _price_bands(spark: SparkSession) -> DataFrame:
+    rows = ", ".join(
+        f"({b}, CAST({b * PRICE_BAND_WIDTH} AS DOUBLE),"
+        f" CAST({(b + 1) * PRICE_BAND_WIDTH} AS DOUBLE))"
+        for b in range(N_PRICE_BANDS)
+    )
+    return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(band, lo, hi)")
+
+
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucket join: fact rows land in [lo, hi) bands of a tiny
+    dimension. The dim is broadcast, so the non-equi condition runs as
+    a broadcast nested-loop with no shuffle of the fact side — the only
+    sane physical plan for inequality joins at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = _price_bands(spark)
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("sum_price"),
+        )
+    )
+
+
+def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based → deterministic
+    across engines; round only against last-ulp interpolation noise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda c, p: F.round(F.expr(f"percentile({c}, {p})"), 6)  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        pct("l_quantity", 0.5).alias("p50_qty"),
+        pct("l_quantity", 0.9).alias("p90_qty"),
+        pct("l_extendedprice", 0.95).alias("p95_price"),
+    )
+
+
+def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass
+    (Expand + single shuffle — not 4 separate scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q39_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type contingency pivot with a FIXED vocabulary —
+    passing the value list keeps the schema static and skips the extra
+    distinct-scan Spark otherwise runs to discover pivot columns."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+    pivoted = (
+        ev.groupBy(day)
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in PIVOT_EVENT_TYPES
+        ],
+    )
+
+
+def q40_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-level aggregation.
+
+    Level 1 groups by (key, salt) — skewed keys split across
+    SALT_BUCKETS reducers; level 2 merges the partials. Because the
+    partials are exact scaled integers, the two-level sum is bit-equal
+    to the direct groupBy, so the oracle is the PLAIN unsalted SQL:
+    the test proves salting is a pure physical rewrite. The salt
+    source (xxhash64) only affects placement, never results.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6), 0
+    ).cast("bigint")
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(SALT_BUCKETS))
+    partial = (
+        li.select(
+            "l_returnflag", salt.alias("salt"), scaled.alias("rev_scaled")
+        )
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum("rev_scaled").alias("part_rev"),
+            F.count(F.lit(1)).alias("part_n"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        (F.sum("part_rev").cast("double") / F.lit(1e6))
+        .cast("double")
+        .alias("revenue"),
+        F.sum("part_n").alias("n_items"),
+    )
+
+
+def q41_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group via ranking window. The window partitions
+    by the group key (hash-distributed, no global sort); ties broken by
+    the unique key so results are total-ordered and hash-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= TOPK_PER_GROUP)
+        .select("o_orderpriority", "pos", "o_orderkey", "o_totalprice")
+    )
+
+
+def q42_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in (label, dim) long form: posexplode the
+    vector, exact fixed-point mean per dimension. Long form keeps the
+    shuffle key (label, dim) fine-grained — at 100 TB the wide-array
+    alternative would funnel each label through one reducer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+    # No final round: the sum is an exact integer, the count matches,
+    # and one IEEE division is bit-identical in both engines. Rounding
+    # here would CREATE ties (exact-int / small-count hits .5 at the
+    # rounding digit) that HALF_UP vs round-half-even then split.
+    return exploded.groupBy("label", "dim").agg(
+        (dsum("x", scale=9) / F.count("x")).alias("centroid")
+    )
+
+
+def q43_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13's hourly rollup executed as a Structured Streaming job:
+    parquet file source → event-time tumbling window agg → complete-
+    mode memory sink, drained with trigger(availableNow). The returned
+    DataFrame hash-matches the same DuckDB oracle as the batch q13 —
+    batch/stream semantic parity, checked end to end.
+
+    (Complete mode because the oracle needs every window: append mode
+    would hold back windows newer than the watermark at end-of-stream.)
+    """
+    from ..streaming.twin import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    rolled = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("bucket_hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("q43_stream_hourly_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q43_stream_hourly_sink")
+
+
+QUERIES = {
+    "q34_tumbling_window": q34_tumbling_window,
+    "q35_asof_join": q35_asof_join,
+    "q36_range_join": q36_range_join,
+    "q37_percentiles": q37_percentiles,
+    "q38_cube": q38_cube,
+    "q39_pivot": q39_pivot,
+    "q40_salted_agg": q40_salted_agg,
+    "q41_topk_per_group": q41_topk_per_group,
+    "q42_embedding_centroid": q42_embedding_centroid,
+    "q43_stream_hourly": q43_stream_hourly,
+}
+
+_TUMBLE_S = TUMBLE_HOURS * 3600
+
+_BANDS_SQL = ", ".join(
+    f"({b}, CAST({b * PRICE_BAND_WIDTH} AS DOUBLE),"
+    f" CAST({(b + 1) * PRICE_BAND_WIDTH} AS DOUBLE))"
+    for b in range(N_PRICE_BANDS)
+)
+
+_HOURLY_SQL = f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_hour,
+           COUNT(*) AS n_events,
+           {dsum_expr("value", scale=2)} AS sum_value
+    FROM events
+    GROUP BY 1
+"""
+
+ORACLE = {
+    "q34_tumbling_window": f"""
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + to_seconds(CAST(floor(epoch(CAST(ts AS TIMESTAMP))
+                                         / {_TUMBLE_S}) AS BIGINT) * {_TUMBLE_S})
+                 AS win_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {dsum_expr("value", scale=2)} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q35_asof_join": """
+        WITH enriched AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 event_type, value,
+                 last_value(CASE WHEN event_type = 'view' THEN value END
+                            IGNORE NULLS) OVER w AS view_value,
+                 last_value(CASE WHEN event_type = 'view'
+                                 THEN CAST(ts AS TIMESTAMP) END
+                            IGNORE NULLS) OVER w AS view_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, value AS purchase_value, view_value,
+               (epoch_us(ts) - epoch_us(view_ts)) AS gap_us
+        FROM enriched WHERE event_type = 'purchase'
+    """,
+    "q36_range_join": f"""
+        SELECT band, COUNT(*) AS n_orders,
+               {dsum_expr("o_totalprice", scale=2)} AS sum_price
+        FROM orders
+        JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+    "q37_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q38_cube": f"""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n_orders,
+               {dsum_expr("o_totalprice", scale=2)} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q39_pivot": """
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+        FROM events GROUP BY 1
+    """,
+    "q40_salted_agg": f"""
+        SELECT l_returnflag,
+               {dsum_expr("l_extendedprice * (1 - l_discount)", scale=6)}
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q41_topk_per_group": f"""
+        SELECT o_orderpriority,
+               CAST(row_number() OVER
+                 (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS pos,
+               o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY pos <= {TOPK_PER_GROUP}
+    """,
+    "q42_embedding_centroid": f"""
+        SELECT label, i AS dim,
+               ({dsum_expr("CAST(embedding[i] AS DOUBLE)", scale=9)}
+                     / COUNT(*)) AS centroid
+        FROM embeddings
+        CROSS JOIN generate_series(1, {EMB_DIM}) AS t(i)
+        GROUP BY label, i
+    """,
+    "q43_stream_hourly": _HOURLY_SQL,
+}
