@@ -43,6 +43,12 @@ try:  # pragma: no cover
     _MODULES.append(multimodal)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import advanced
+
+    _MODULES.append(advanced)
+except ImportError:
+    pass
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,385 @@
+"""Advanced scale-path operators (extensions; no reference citation —
+the reference's surface ends at SURVEY §2.11, these are the north-star
+additions a 100 TB training-data pipeline needs).
+
+q44_ann_ivf         IVF (inverted-file) ANN: coarse-quantize the corpus
+                    into cells, probe the nearest ``NPROBE`` cells per
+                    query, exact top-k inside the probed cells only.
+                    The scale complement to q26 (exact) and q27 (LSH):
+                    search cost drops from O(corpus) to
+                    O(corpus · nprobe / n_cells) per query.
+q45_sketches        sketch-accuracy gates: HyperLogLog distinct and
+                    approx-percentile per group, each checked against
+                    the exact value within tolerance — the query emits
+                    the exact value plus boolean "sketch within band"
+                    columns, so the oracle (exact + TRUE) hash-checks
+                    that the sketch path works without demanding
+                    bit-equality of an approximation.
+q46_tpch_q3         composite join pipeline (TPC-H Q3 shape): selective
+                    dim filter → fact join → grouped revenue → top-10.
+q47_grouping_sets   explicit GROUPING SETS ((a,b),(a),()) with
+                    grouping_id — finer-grained than q38's CUBE.
+q48_rolling_window  ordered row-frame window: 3-row moving sum/avg and
+                    lag deltas per customer.
+
+Scale design:
+- q44 never scans the corpus per query: assignment is one broadcast
+  argmin pass (8 centroid vectors broadcast to every executor), the
+  search joins the (query × probed-cell) pairs to a cell-partitioned
+  candidate table — shuffle keyed on cell, never all-pairs. At 100 TB
+  the assignment table is written bucketed by cell so probes are
+  pruned scans. Centroid refinement is the q42 fixed-point mean in
+  (cell, dim) long form: exact integer sums, so the refined centroids
+  are bit-identical across engines and run-to-run.
+- q45's sketches are the 100 TB answer to q19/q37's exact forms:
+  HLL is mergeable (one pass, no shuffle of distinct values) and
+  approx-percentile holds a bounded sketch instead of sorting a group.
+- q46 filter order: the customer filter (1-in-5 selectivity) runs
+  before the join; customers broadcast; lineitem's date filter pushes
+  to the parquet scan. Revenue uses the scaled-int sum (stable.dsum)
+  so group totals are partition-order-independent.
+- q47/q48 are single-shuffle plans (Expand + one hash agg; one window
+  sort partitioned by customer).
+
+Determinism: every float that reaches the output (or an ordering) is
+either a fixed-point sum, a single IEEE division of exact integers, or
+rounded to 9 dp before compare/sort, with unique-key tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.stable import dsum, dsum_expr
+from ..sources.readers import fanout, load_table
+from .similarity import _dot, _norm, _vecs
+
+N_CELLS = 8
+NPROBE = 2
+IVF_TOPK = 3
+IVF_QUERY_STRIDE = 100  # vec_id % stride == 0 → query set (as q26)
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+
+HLL_TOL = 0.15  # approx_count_distinct default rsd is 0.05 → 3σ band
+PCTL_TOL = 0.05
+
+
+def _centroids(v: DataFrame) -> DataFrame:
+    """Coarse quantizer: seed cells from the first N_CELLS vectors, one
+    assignment pass, then exact fixed-point per-dim means re-assembled
+    into refined centroid arrays (cell, cv)."""
+    seeds = v.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("sv"),
+        _norm("v").alias("sn"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "cos", F.round(_dot("v", "sv") / (_norm("v") * F.col("sn")), 9)
+        )
+    )
+    pick = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell", "v")
+    )
+    long = assign.select(
+        "cell", F.posexplode("v")
+    ).select("cell", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+    per_dim = long.groupBy("cell", "dim").agg(
+        (dsum("x", scale=9) / F.count("x")).alias("val")
+    )
+    cent = per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))),
+            lambda s: s["val"],
+        ).alias("cv")
+    )
+    return assign.select("vec_id", "cell"), cent
+
+
+def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the NPROBE nearest refined centroids per query,
+    exact cosine top-k within the probed cells. Same output shape as
+    q26 so recall against the exact baseline is directly measurable."""
+    v = _vecs(spark, sf_dir)
+    assign, cent = _centroids(v)
+    cent = cent.withColumn("cn", _norm("cv"))
+    q = v.where(F.col("vec_id") % IVF_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("vq"),
+        _norm("v").alias("nq"),
+    )
+    probed = (
+        F.broadcast(q.select("q_id", "vq", "nq"))
+        .crossJoin(cent)
+        .withColumn(
+            "ccos", F.round(_dot("vq", "cv") / (F.col("nq") * F.col("cn")), 9)
+        )
+    )
+    wp = W.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        probed.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= NPROBE)
+        .select("q_id", "cell")
+    )
+    cand = probes.join(assign, "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "cell", F.col("vec_id").alias("n_id"))
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(
+            v.select(
+                F.col("vec_id").alias("n_id"), F.col("v").alias("vc"),
+                _norm("v").alias("nc"),
+            ),
+            "n_id",
+        )
+        .withColumn(
+            "cosine",
+            F.round(_dot("vq", "vc") / (F.col("nq") * F.col("nc")), 9),
+        )
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(wk))
+        .where(F.col("pos") <= IVF_TOPK)
+        .select("q_id", "pos", "n_id", "cell", "cosine")
+    )
+
+
+def q45_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch gates per order priority: HLL distinct count
+    and approx median, each asserted within tolerance of the exact
+    value computed in the same pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey").alias("_hll"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("_exact_med"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("_apx_med"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custkeys",
+        (
+            F.abs(F.col("_hll") - F.col("exact_custkeys"))
+            <= HLL_TOL * F.col("exact_custkeys")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("_apx_med") - F.col("_exact_med"))
+            <= PCTL_TOL * F.col("_exact_med")
+        ).alias("pctl_ok"),
+    )
+
+
+def q46_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape on the driver star schema: BUILDING-segment
+    customers' orders placed before the cut date with line items
+    shipped after it; top-10 orders by revenue."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                scale=4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q47_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag,status),(flag),()) with a
+    grouping_id level marker — one Expand + one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity", scale=2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "lvl", "n", "sum_qty")
+    )
+
+
+def q48_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer ordered row frames: 3-row moving spend sum/avg and
+    gap-in-days to the previous order. One shuffle (partitionBy
+    customer), total order inside the partition via the unique key."""
+    orders = fanout(load_table(spark, sf_dir, "orders"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(-2, 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(frame).cast("double") / 100).alias("roll3_sum"),
+        (
+            F.sum(cents).over(frame).cast("double")
+            / (100 * F.count(F.lit(1)).over(frame))
+        ).alias("roll3_avg"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+QUERIES = {
+    "q44_ann_ivf": q44_ann_ivf,
+    "q45_sketches": q45_sketches,
+    "q46_tpch_q3": q46_tpch_q3,
+    "q47_grouping_sets": q47_grouping_sets,
+    "q48_rolling_window": q48_rolling_window,
+}
+
+_DOT = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+_V = "CAST(embedding AS DOUBLE[])"
+
+_IVF_CTE = f"""
+        v AS (
+          SELECT vec_id, {_V} AS v, {_NORM.format(a=_V)} AS nrm
+          FROM embeddings
+        ),
+        seeds AS (
+          SELECT vec_id AS cell, v AS sv, nrm AS sn FROM v
+          WHERE vec_id < {N_CELLS}
+        ),
+        scored AS (
+          SELECT v.vec_id, s.cell, v.v,
+                 round({_DOT.format(a="v.v", b="s.sv")} / (v.nrm * s.sn), 9)
+                   AS cos
+          FROM v, seeds s
+        ),
+        assign AS (
+          SELECT vec_id, cell, v FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rk
+            FROM scored
+          ) WHERE rk = 1
+        ),
+        long AS (
+          SELECT cell, i AS dim, v[i] AS x
+          FROM assign, LATERAL unnest(generate_series(1, 64)) AS t(i)
+        ),
+        per_dim AS (
+          SELECT cell, dim,
+                 {dsum_expr("x", scale=9)} / COUNT(x) AS val
+          FROM long GROUP BY cell, dim
+        ),
+        cent AS (
+          SELECT cell, list(val ORDER BY dim) AS cv FROM per_dim
+          GROUP BY cell
+        ),
+        centn AS (
+          SELECT cell, cv, {_NORM.format(a="cv")} AS cn FROM cent
+        ),
+        q AS (
+          SELECT vec_id AS q_id, v AS vq, nrm AS nq FROM v
+          WHERE vec_id % {IVF_QUERY_STRIDE} = 0
+        ),
+        probes AS (
+          SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell, row_number() OVER (
+              PARTITION BY q.q_id
+              ORDER BY round({_DOT.format(a="q.vq", b="c.cv")}
+                             / (q.nq * c.cn), 9) DESC, c.cell ASC) AS rk
+            FROM q, centn c
+          ) WHERE rk <= {NPROBE}
+        ),
+        cand AS (
+          SELECT p.q_id, p.cell, a.vec_id AS n_id
+          FROM probes p JOIN assign a USING (cell)
+          WHERE a.vec_id <> p.q_id
+        )
+"""
+
+ORACLE = {
+    "q44_ann_ivf": f"""
+        WITH {_IVF_CTE}
+        SELECT q_id, CAST(pos AS INT) AS pos, n_id, cell, cosine FROM (
+          SELECT c.q_id, c.n_id, c.cell,
+                 round({_DOT.format(a="q.vq", b="n.v")} / (q.nq * n.nrm), 9)
+                   AS cosine,
+                 row_number() OVER (PARTITION BY c.q_id
+                   ORDER BY round({_DOT.format(a="q.vq", b="n.v")}
+                                  / (q.nq * n.nrm), 9) DESC,
+                            c.n_id ASC) AS pos
+          FROM cand c
+          JOIN q ON q.q_id = c.q_id
+          JOIN v n ON n.vec_id = c.n_id
+        ) WHERE pos <= {IVF_TOPK}
+    """,
+    "q45_sketches": """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS exact_custkeys,
+               TRUE AS hll_ok,
+               TRUE AS pctl_ok
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q46_tpch_q3": f"""
+        SELECT l_orderkey, o_orderdate,
+               {dsum_expr("l_extendedprice * (1.0 - l_discount)", scale=4)}
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = '{Q3_SEGMENT}'
+          AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+          AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q47_grouping_sets": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+               COUNT(*) AS n,
+               {dsum_expr("l_quantity", scale=2)} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """,
+    "q48_rolling_window": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w3
+                    AS DOUBLE) / 100 AS roll3_sum,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w3
+                    AS DOUBLE)
+                 / (100 * COUNT(*) OVER w3) AS roll3_avg,
+               CAST(date_diff('day',
+                    lag(o_orderdate, 1) OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS INT) AS days_since_prev
+        FROM orders
+        WINDOW w3 AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+}
