@@ -29,8 +29,20 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("rime-wanxiang-bench")
 
-    # Warm up the JVM / parquet footer caches with an untimed scan.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm up the JVM / parquet footer caches with an untimed scan of
+    # every table, so per-query timings measure plan execution rather
+    # than whichever query alphabetically touches a file first.
+    import glob
+
+    for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        spark.read.parquet(p).count()
+
+    # Warm the Python worker pool too (forked lazily on the first
+    # Arrow/pandas stage; ~0.3 s/worker × local[32] would otherwise be
+    # billed to whichever query hits mapInPandas first).
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():

@@ -155,12 +155,20 @@ def q45_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     and approx median, each asserted within tolerance of the exact
     value computed in the same pass."""
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_orderpriority").agg(
+    # Two separate aggregates joined on the (5-row) group key: fusing a
+    # distinct aggregate (Expand) with sort-based percentile aggregates
+    # in one Aggregate forces every percentile row through the Expand
+    # duplication and the ObjectHashAggregate fallback — measured 12.7 s
+    # vs ~1 s split at sf0.1.
+    d = orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_custkeys"),
         F.approx_count_distinct("o_custkey").alias("_hll"),
+    )
+    p = orders.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("_exact_med"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("_apx_med"),
     )
+    agg = d.join(F.broadcast(p), "o_orderpriority")
     return agg.select(
         "o_orderpriority",
         "exact_custkeys",
