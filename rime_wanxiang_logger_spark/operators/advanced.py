@@ -242,7 +242,7 @@ def q48_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = fanout(load_table(spark, sf_dir, "orders"))
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     frame = w.rowsBetween(-2, 0)
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -375,9 +375,9 @@ ORACLE = {
     """,
     "q48_rolling_window": """
         SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w3
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w3
                     AS DOUBLE) / 100 AS roll3_sum,
-               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w3
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w3
                     AS DOUBLE)
                  / (100 * COUNT(*) OVER w3) AS roll3_avg,
                CAST(date_diff('day',

@@ -106,3 +106,45 @@ def test_q26_broadcasts_query_side(spark, sf_dir):
     df = q26_ann_topk(spark, sf_dir)
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q46_broadcast_dim_and_date_pushdown(spark, sf_dir):
+    """TPC-H Q3 shape: the filtered customer dim must broadcast, and
+    both date predicates must reach the parquet scans."""
+    from rime_wanxiang_logger_spark.operators.advanced import q46_tpch_q3
+
+    df = q46_tpch_q3(spark, sf_dir)
+    assert has_broadcast_join(df), explain_str(df)
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderdate" in filters, filters
+    assert "l_shipdate" in filters, filters
+    assert "c_mktsegment" in filters, filters
+
+
+def test_q47_grouping_sets_single_shuffle(spark, sf_dir):
+    """GROUPING SETS = one Expand + partial/final agg + ONE exchange —
+    never one aggregation pass per set."""
+    from rime_wanxiang_logger_spark.operators.advanced import q47_grouping_sets
+
+    df = q47_grouping_sets(spark, sf_dir)
+    assert op_count(df, "Expand") == 1, explain_str(df)
+    assert shuffle_count(df) == 1, explain_str(df)
+
+
+def test_q48_window_single_partition_shuffle(spark, sf_dir):
+    """Row-frame windows share one partitionBy(customer) exchange (the
+    fanout repartition at ingest is the only other one)."""
+    from rime_wanxiang_logger_spark.operators.advanced import q48_rolling_window
+
+    df = q48_rolling_window(spark, sf_dir)
+    assert op_count(df, "Window") == 1, explain_str(df)
+    assert shuffle_count(df) <= 2, explain_str(df)
+
+
+def test_q44_ivf_broadcasts_centroids_and_queries(spark, sf_dir):
+    """IVF search must broadcast the tiny sides (seeds, centroids,
+    query set) — the corpus is only ever joined by cell key."""
+    from rime_wanxiang_logger_spark.operators.advanced import q44_ann_ivf
+
+    df = q44_ann_ivf(spark, sf_dir)
+    assert has_broadcast_join(df), explain_str(df)
