@@ -257,12 +257,52 @@ def q48_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT = 8
+
+
+def q49_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated skew join: events (1M rows over FIVE event_type
+    values — maximal key skew) joined to a per-type dimension without
+    broadcasting it.
+
+    Physical rewrite: the dim side is replicated ×SALT via explode, the
+    fact side gets a deterministic per-row salt (xxhash64 of the unique
+    key), and the equi-join runs on (event_type, salt) — so each
+    skewed key's rows spread over SALT reducers instead of one. The
+    shuffle_hash hint keeps the tiny replicated dim from being
+    broadcast, which would hide the pattern being demonstrated (a real
+    skew-salt applies when the dim is too big to broadcast). The oracle
+    is the PLAIN unsalted join — salting must not change a single row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    ).hint("shuffle_hash")
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int")
+    )
+    return (
+        fact.join(dim_salted, ["event_type", "salt"])
+        .groupBy("event_type", "type_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", scale=2).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "q44_ann_ivf": q44_ann_ivf,
     "q45_sketches": q45_sketches,
     "q46_tpch_q3": q46_tpch_q3,
     "q47_grouping_sets": q47_grouping_sets,
     "q48_rolling_window": q48_rolling_window,
+    "q49_skew_join": q49_skew_join,
 }
 
 _DOT = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
@@ -325,6 +365,18 @@ _IVF_CTE = f"""
           FROM probes p JOIN assign a USING (cell)
           WHERE a.vec_id <> p.q_id
         )
+"""
+
+_Q49_ORACLE = f"""
+        WITH dim AS (
+          SELECT event_type, COUNT(*) AS type_total
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, d.type_total,
+               COUNT(*) AS n_rows,
+               {dsum_expr("e.value", scale=2)} AS sum_value
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type, d.type_total
 """
 
 ORACLE = {
@@ -390,4 +442,5 @@ ORACLE = {
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
+    "q49_skew_join": _Q49_ORACLE,
 }

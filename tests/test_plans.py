@@ -148,3 +148,14 @@ def test_q44_ivf_broadcasts_centroids_and_queries(spark, sf_dir):
 
     df = q44_ann_ivf(spark, sf_dir)
     assert has_broadcast_join(df), explain_str(df)
+
+
+def test_q49_salted_join_not_broadcast(spark, sf_dir):
+    """The skew-salt demo must actually exercise a shuffled join on the
+    salted key — a broadcast would silently hide the pattern."""
+    from rime_wanxiang_logger_spark.operators.advanced import q49_skew_join
+
+    df = q49_skew_join(spark, sf_dir)
+    plan = explain_str(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "salt" in plan
