@@ -296,6 +296,64 @@ def q49_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def q50_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-way join across the
+    whole star schema — lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    nation ⋈ region — revenue per nation where customer and supplier
+    share the nation.
+
+    Plan shape at scale: region→nation→supplier and customer are
+    broadcast (≤ a few MB even at sf100); the only shuffles are the two
+    fact-side equi-joins (orders⋈customer prunes first via the date
+    filter) and the final 25-row aggregate. The customer-nation =
+    supplier-nation predicate rides the supplier join as an equi-key,
+    not a post-filter.
+    """
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                scale=4,
+            ).alias("revenue")
+        )
+    )
+
+
+
 QUERIES = {
     "q44_ann_ivf": q44_ann_ivf,
     "q45_sketches": q45_sketches,
@@ -303,6 +361,7 @@ QUERIES = {
     "q47_grouping_sets": q47_grouping_sets,
     "q48_rolling_window": q48_rolling_window,
     "q49_skew_join": q49_skew_join,
+    "q50_tpch_q5": q50_tpch_q5,
 }
 
 _DOT = "list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
@@ -365,6 +424,23 @@ _IVF_CTE = f"""
           FROM probes p JOIN assign a USING (cell)
           WHERE a.vec_id <> p.q_id
         )
+"""
+
+_Q50_ORACLE = f"""
+        SELECT n_name,
+               {dsum_expr("l_extendedprice * (1.0 - l_discount)", scale=4)}
+                 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q5_REGION}'
+          AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+          AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+        GROUP BY n_name
 """
 
 _Q49_ORACLE = f"""
@@ -443,4 +519,5 @@ ORACLE = {
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     "q49_skew_join": _Q49_ORACLE,
+    "q50_tpch_q5": _Q50_ORACLE,
 }

@@ -1,5 +1,7 @@
+from . import twin  # noqa: F401
 from .twin import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
+    dedup_stream,
     hourly_rollup_stream,
     read_events_stream,
     read_rime_jsonl_stream,

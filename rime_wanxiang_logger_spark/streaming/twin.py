@@ -144,6 +144,20 @@ def stateful_asof_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup (T5 / q21's streaming twin): drop repeat
+    deliveries of the same event within the watermark horizon via
+    ``dropDuplicatesWithinWatermark`` — state holds only event ids seen
+    inside the horizon, so memory is bounded by (rate × watermark), not
+    by stream length. At 100 TB/day this is the at-least-once →
+    exactly-once repair stage in front of every downstream aggregate."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str):
     """Drive a bounded 'stream' to completion synchronously; returns the
     query handle (results in the in-memory table ``name``)."""

@@ -159,3 +159,14 @@ def test_q49_salted_join_not_broadcast(spark, sf_dir):
     plan = explain_str(df)
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "salt" in plan
+
+
+def test_q50_broadcasts_all_dims(spark, sf_dir):
+    """Q5 shape: every dimension side broadcast; only the fact joins
+    and the final agg shuffle."""
+    from rime_wanxiang_logger_spark.operators.advanced import q50_tpch_q5
+
+    df = q50_tpch_q5(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert shuffle_count(df) <= 3, plan

@@ -157,3 +157,36 @@ def test_jsonl_stream_tail(spark, tmp_path):
         assert got == {"session_start": 1, "text_committed": 1, "session_end": 1}
     finally:
         q.stop()
+
+
+def test_dedup_stream_parity(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark must converge to the
+    batch distinct on bounded data — including across micro-batches
+    (the duplicate arrives in a later file than the original)."""
+    import shutil
+
+    src = str(tmp_path / "dup_events")
+    os.makedirs(src)
+    base = spark.read.parquet(f"{SMALL_SF}/events.parquet").limit(200)
+    base.write.parquet(src, mode="overwrite")
+    # re-deliver half the events as a second file (at-least-once replay)
+    base.limit(100).write.mode("append").parquet(src)
+
+    ev = (
+        spark.readStream.schema(st.twin.EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(src)
+        .withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    )
+    q = st.run_stream_to_memory(st.dedup_stream(ev), "dedup_sink", "append")
+    try:
+        got = spark.table("dedup_sink").groupBy().count().collect()[0][0]
+        dup_total = spark.read.parquet(src).count()
+        assert dup_total == 300
+        assert got == 200
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
