@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # saveAsTable target for bucketed-layout tests (sources/layout.py);
+        # keep it out of the repo tree.
+        .config("spark.sql.warehouse.dir", "/tmp/rime_spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
