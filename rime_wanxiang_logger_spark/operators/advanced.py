@@ -55,7 +55,11 @@ from ..sources.readers import fanout, load_table
 from .similarity import _dot, _norm, _vecs
 
 N_CELLS = 8
-NPROBE = 2
+# nprobe=3 measured recall@3 0.80-0.87 vs the exact q26 baseline on the
+# synthetic (weakly clustered) embeddings while scanning 3/8 of the
+# corpus; nprobe=2 drops to 0.47-0.67 (tests/test_plans.py pins the
+# floor). Real corpora with cluster structure do better at lower nprobe.
+NPROBE = 3
 IVF_TOPK = 3
 IVF_QUERY_STRIDE = 100  # vec_id % stride == 0 → query set (as q26)
 

@@ -170,3 +170,16 @@ def test_q50_broadcasts_all_dims(spark, sf_dir):
     plan = explain_str(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert shuffle_count(df) <= 3, plan
+
+
+def test_q44_ivf_recall_floor(spark, sf_dir):
+    """IVF must stay a useful ANN, not just a self-consistent one:
+    recall@k ≥ 0.75 against the exact q26 baseline at sf0.01 (measured
+    0.87 at nprobe=3; fails loudly if the quantizer regresses)."""
+    from rime_wanxiang_logger_spark.operators.advanced import q44_ann_ivf
+    from rime_wanxiang_logger_spark.operators.similarity import q26_ann_topk
+
+    exact = {(r.q_id, r.n_id) for r in q26_ann_topk(spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.n_id) for r in q44_ann_ivf(spark, sf_dir).collect()}
+    assert exact
+    assert len(exact & ivf) / len(exact) >= 0.75
