@@ -12,6 +12,12 @@ q32_multimodal_decode  binary payload → per-item metadata via
                        mapInPandas (oracle-checkable because the fake
                        decode derives only from byte length + md5,
                        both expressible in SQL)
+q51_frame_sample       binary payload → N sampled "frames" per item
+                       (1→many mapInPandas: the video frame-sampling /
+                       audio windowing batch shape — each payload is
+                       chunked into fixed-size frames and every
+                       SAMPLE_STRIDE-th frame is emitted with its
+                       checksum)
 
 ``decode_image_real`` is the production extension point: same
 signature, raises NotImplementedError unless PIL is importable.
@@ -110,11 +116,83 @@ def q32_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.mapInPandas(make_fake_decode_batch(), schema=_OUT_SCHEMA)
 
 
-QUERIES = {"q32_multimodal_decode": q32_multimodal_decode}
+FRAME_BYTES = 64
+SAMPLE_STRIDE = 2  # keep every 2nd frame
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_len bigint, frame_md5 string"
+
+
+def make_frame_sampler():
+    """FAKE frame extractor (a real pipeline decodes video/audio here):
+    chunks the payload into FRAME_BYTES-sized frames, keeps every
+    SAMPLE_STRIDE-th. Closure on purpose — see make_fake_decode_batch.
+    The 1→many output shape is the part Spark cares about: one Arrow
+    batch in, a variable-length batch out, schema fixed up front."""
+    frame_bytes, stride = FRAME_BYTES, SAMPLE_STRIDE
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[o : o + frame_bytes]
+                    for o in range(0, len(payload), frame_bytes)
+                ]
+                for i, fr in enumerate(frames):
+                    if i % stride:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    sums.append(_hashlib.md5(fr).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_md5": sums,
+                }
+            )
+
+    return sample
+
+
+def q51_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling batch shape: one input row → many output rows
+    through the Arrow/pandas path."""
+    bt = fanout(binary_table(spark, sf_dir).select("doc_id", "payload"))
+    return bt.mapInPandas(make_frame_sampler(), schema=_FRAME_SCHEMA)
+
+
+QUERIES = {
+    "q32_multimodal_decode": q32_multimodal_decode,
+    "q51_frame_sample": q51_frame_sample,
+}
 
 # The fake decode is SQL-expressible (ASCII text ⇒ md5(text) = md5(bytes);
 # byte[0] = ascii code of first char).
 ORACLE = {
+    "q51_frame_sample": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(i - 1 AS BIGINT) AS frame_idx,
+                 substring(text, (i - 1) * {FRAME_BYTES} + 1, {FRAME_BYTES})
+                   AS fr
+          FROM documents,
+               LATERAL unnest(generate_series(
+                 1, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT)))
+                 AS t(i)
+        )
+        SELECT doc_id, frame_idx,
+               CAST(length(fr) AS BIGINT) AS frame_len,
+               md5(fr) AS frame_md5
+        FROM f
+        WHERE frame_idx % {SAMPLE_STRIDE} = 0
+    """,
     "q32_multimodal_decode": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -7,7 +7,8 @@ q29_text_quality   quality scoring: token stats, stopword ratio,
 q30_token_count    whitespace tokens, regex word tokens, BPE-ish
                    length/4 estimate
 q31_fingerprint    document fingerprints: exact, normalized, bag-of-
-                   words (order-insensitive) — the keys exact dedup
+                   words (order-insensitive), and a Rabin-Karp
+                   polynomial rolling hash — the keys exact dedup
                    hangs off
 
 All pure built-in expressions (split/filter/transform/regexp_count/
@@ -114,6 +115,20 @@ def q30_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rabin-Karp polynomial hash: fold acc = (acc·B + byte) mod P over the
+# characters. B=257, P = largest prime < 2^53 so acc·B < 2^62 (exact in
+# BIGINT in both engines). The incremental-window property of this hash
+# family is what winnowing-style chunk fingerprinting builds on.
+_RK_B = 257
+_RK_P = 9007199254740881
+
+_RK_SPARK = (
+    "aggregate(transform(sequence(1, length(text)), "
+    "i -> ascii(substring(text, i, 1))), CAST(0 AS BIGINT), "
+    f"(acc, c) -> (acc * {_RK_B} + c) % {_RK_P})"
+)
+
+
 def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -121,6 +136,7 @@ def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp_exact"),
         F.md5(F.lower(F.trim("text"))).alias("fp_norm"),
         F.md5(F.concat_ws(" ", F.array_sort(F.split("text", " ")))).alias("fp_bag"),
+        F.expr(_RK_SPARK).alias("fp_roll"),
     )
 
 
@@ -184,12 +200,17 @@ ORACLE = {
                CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS bpe_est
         FROM documents
     """,
-    "q31_fingerprint": """
+    "q31_fingerprint": f"""
         SELECT doc_id,
                md5(text) AS fp_exact,
                md5(lower(trim(text))) AS fp_norm,
                md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
-                 AS fp_bag
+                 AS fp_bag,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(text)),
+                                  i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * {_RK_B} + c) % {_RK_P}) AS fp_roll
         FROM documents
     """,
 }
