@@ -8,6 +8,12 @@ q23_simhash         16-bit SimHash per doc + band keys for hamming
                     bucketing
 q24_ngram_jaccard   exact n-gram Jaccard verification of the LSH
                     candidates (the verify stage of the dedup pipeline)
+q52_winnowing       winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+                    SIGMOD'03): char k-gram Rabin-Karp hashes, one
+                    selected per sliding window by min — the
+                    position-robust chunk keys for partial-overlap
+                    detection (copied paragraphs inside otherwise
+                    different docs, which whole-doc MinHash dilutes)
 
 Design for 100 TB:
 - q21 is one hash-aggregate on the fingerprint — map-side combine
@@ -23,7 +29,7 @@ Determinism / oracle parity: the only cryptographic hash is ONE md5
 per shingle (portable: identical hex in Spark and DuckDB); its first
 8 hex chars decode to a 32-bit base integer, and the ``N_HASHES``
 MinHash functions are affine universal hashes ``(Aᵢ·h + Bᵢ) mod P``
-(P = 2⁶¹−1) over that base — exact BIGINT arithmetic that both
+(P = 2³¹−1) over that base — exact BIGINT arithmetic that both
 engines replay bit-identically, and ~8× cheaper than the naive
 one-md5-per-seed-per-shingle family (hashing dominated the stage:
 measured 0.61 s → 0.33 s for the signature pass at sf0.1).
@@ -239,11 +245,47 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WIN_K = 8  # k-gram length (chars)
+WIN_W = 4  # window size (hashes)
+_WB = 257
+_WP = 9007199254740881  # largest prime < 2^53: acc·B + c < 2^62 exact
+
+# h_i = RK hash of the k-gram at position i (nested HOF lambdas; the
+# inner fold captures the outer position variable).
+_KGRAM_HASHES_SPARK = (
+    f"transform(sequence(1, greatest(length(text) - {WIN_K - 1}, 0)), i -> "
+    f"aggregate(sequence(0, {WIN_K - 1}), CAST(0 AS BIGINT), "
+    f"(acc, j) -> (acc * {_WB} + ascii(substring(text, i + j, 1))) % {_WP}))"
+)
+
+
+def q52_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per doc: min hash of each sliding
+    window of WIN_W consecutive k-gram hashes, dedup'd — O(n·k)
+    vectorized, single scan stage, no shuffle before the final
+    explode."""
+    docs = fanout(load_table(spark, sf_dir, "documents"))
+    hashes = docs.select(
+        "doc_id", F.expr(_KGRAM_HASHES_SPARK).alias("hs")
+    )
+    sel = hashes.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(hs) - {WIN_W - 1}, 0)), "
+            f"i -> array_min(slice(hs, i, {WIN_W})))"
+        ).alias("sel"),
+    )
+    return sel.select(
+        "doc_id", F.explode(F.array_distinct("sel")).alias("fp")
+    )
+
+
 QUERIES = {
     "q21_dedup_exact": q21_dedup_exact,
     "q22_minhash_lsh": q22_minhash_lsh,
     "q23_simhash": q23_simhash,
     "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q52_winnowing": q52_winnowing,
 }
 
 _R = N_HASHES // N_BANDS
@@ -298,6 +340,27 @@ _SIMHASH_SQL = " + ".join(
     f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
 )
 
+_KGRAM_HASHES_DUCK = (
+    f"list_transform(generate_series(1, greatest(length(text) - {WIN_K - 1}, 0)), i -> "
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(generate_series(0, {WIN_K - 1}), "
+    f"j -> CAST(ascii(substring(text, i + j, 1)) AS BIGINT))), "
+    f"(acc, c) -> (acc * {_WB} + c) % {_WP}))"
+)
+
+_Q52_ORACLE = f"""
+        WITH hs AS (
+          SELECT doc_id, {_KGRAM_HASHES_DUCK} AS hs FROM documents
+        ), sel AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(hs) - {WIN_W - 1}, 0)),
+                   i -> list_aggregate(hs[i:i+{WIN_W - 1}], 'min')) AS sel
+          FROM hs
+        )
+        SELECT DISTINCT doc_id, unnest(sel) AS fp FROM sel
+"""
+
 ORACLE = {
     "q21_dedup_exact": """
         SELECT md5(lower(trim(text))) AS fp,
@@ -348,4 +411,5 @@ ORACLE = {
         JOIN sizes na ON na.doc_id = c.doc_a
         JOIN sizes nb ON nb.doc_id = c.doc_b
     """,
+    "q52_winnowing": _Q52_ORACLE,
 }
