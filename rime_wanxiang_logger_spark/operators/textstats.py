@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import fanout, load_table
 
 # Pseudo-stopword lists over the synthetic corpus vocabulary; the
 # *pattern* (per-language marker lists, argmax score) is the real
@@ -130,7 +130,10 @@ _RK_SPARK = (
 
 
 def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fanout: the Rabin-Karp fold is an interpreted HOF lambda
+    # (~length(text) steps/doc) — spread it across cores, don't let the
+    # single-row-group test file pin it to one (readers.fanout doc).
+    docs = fanout(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.md5("text").alias("fp_exact"),
