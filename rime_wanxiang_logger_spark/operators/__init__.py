@@ -49,6 +49,12 @@ try:  # pragma: no cover
     _MODULES.append(advanced)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import pipeline
+
+    _MODULES.append(pipeline)
+except ImportError:
+    pass
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,266 @@
+"""Training-data pipeline composition operators (north-star M8 cont.).
+
+q53_dedup_clusters   connected components over the MinHash-LSH
+                     candidate graph — turns q22's near-dup PAIRS into
+                     dedup CLUSTERS (the survivorship unit a real
+                     pipeline deletes against)
+q54_tpch_q17         correlated scalar subquery (TPC-H Q17 shape):
+                     small-quantity revenue vs per-part average —
+                     exercises Catalyst subquery decorrelation
+q55_tpch_q18         aggregate-HAVING semi join (TPC-H Q18 shape):
+                     large-volume orders joined back to customers
+q56_hash_split       deterministic content-hash train/val/test split —
+                     the reproducible holdout assignment every training
+                     pipeline needs (no RNG, no seed drift: the split
+                     is a pure function of doc_id)
+
+Design for 100 TB:
+- q53 is iterative min-label propagation with a pointer-jumping step
+  (label := label-of-label) per round, so convergence is O(log n)
+  rounds even on path-shaped components (plain propagation is
+  O(diameter)). Each round is two shuffle joins on (node/label) keys;
+  lineage is truncated per round with localCheckpoint so the plan
+  stays O(1) deep (at cluster scale, swap localCheckpoint for
+  checkpoint() on HDFS/S3 — same semantics, fault-tolerant). Duplicate
+  clusters are near-cliques, so real convergence is 2-3 rounds.
+- q54/q55 rely on Catalyst rewriting the correlated subquery / IN
+  predicate into aggregate + join: `.explain` shows a plain
+  hash-aggregate feeding a join, no per-row subquery execution.
+- q56 is a single scan + one hash-aggregate: the split column derives
+  from md5(doc_id) so assignment is stable under re-partitioning,
+  re-ingestion order, and cluster size — the property that matters
+  when the same 100 TB corpus is re-split months apart.
+
+Reference parity: the reference has no join/subquery surface (SURVEY
+§2.10-2.11) — all four are declared scale extensions (§2.11b style),
+oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.stable import dsum, dsum_expr
+from ..sources.readers import load_table
+from .dedup import _CAND_CTE, _candidate_pairs, _signatures
+
+MAX_CC_ROUNDS = 15
+
+Q17_BRAND = "Brand#4"
+Q18_MIN_QTY = 250.0
+
+
+def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over q22's band-collision pair graph.
+
+    Returns one row per doc that appears in >= 1 candidate pair:
+    (doc_id, cluster_id = min doc_id in its component, cluster_size).
+    A pipeline keeps cluster_id == doc_id rows and drops the rest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs))
+    # Symmetrize once and pin it: every round re-reads the edge set.
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = labels.join(nbr_min, labels.node == nbr_min.dst, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: follow one indirection (label := its label's
+        # label). Labels are always node ids, so the self-join resolves.
+        hop = prop.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            prop.join(hop, prop.label == hop.pnode, "left")
+            .select(
+                "node",
+                F.coalesce("plabel", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def q54_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity lineitems (below
+    20% of the per-part average quantity) for one brand.
+
+    Written as a correlated scalar subquery in SQL so Catalyst's
+    decorrelation rewrites it (RewriteCorrelatedScalarSubquery) into
+    an aggregate + join — the physical plan has no per-row subquery.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        SELECT
+          CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '{Q17_BRAND}'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = part.p_partkey
+          )
+        """
+    )
+
+
+def q55_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold — aggregate-HAVING turned into a semi-join back onto the
+    fact and dimension tables."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .where(F.col("total_qty") > F.lit(Q18_MIN_QTY))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+# Engine-portable md5-hex → bigint decode of the first 8 hex chars
+# (same idiom as dedup._H32; parameterized on the hashed expression).
+def _h32(expr: str, fn: str) -> str:
+    return " + ".join(
+        f"(CAST({fn}('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - i)})"
+        for i in range(8)
+    )
+
+
+_SPLIT_CASE = (
+    "CASE WHEN bucket < 80 THEN 'train' "
+    "WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def q56_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-stable
+    hash of doc_id; returns per-(split, lang) doc counts and char
+    volume for split-balance auditing."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(_h32("CAST(doc_id AS STRING)", "instr")) % F.lit(100)
+    ).alias("bucket")
+    return (
+        docs.select("doc_id", "lang", "n_chars", bucket)
+        .withColumn("split", F.expr(_SPLIT_CASE))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+QUERIES = {
+    "q53_dedup_clusters": q53_dedup_clusters,
+    "q54_tpch_q17": q54_tpch_q17,
+    "q55_tpch_q18": q55_tpch_q18,
+    "q56_hash_split": q56_hash_split,
+}
+
+ORACLE = {
+    # Transitive closure via recursive CTE: reach(node, r) = "r is in
+    # node's component"; min reachable id == the Spark cluster_id.
+    "q53_dedup_clusters": f"""
+        WITH RECURSIVE {_CAND_CTE},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION
+          SELECT doc_b, doc_a FROM cand
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+          SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+        )
+        SELECT comp.node AS doc_id, comp.cluster_id, sizes.cluster_size
+        FROM comp JOIN sizes USING (cluster_id)
+    """,
+    "q54_tpch_q17": f"""
+        SELECT
+          CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '{Q17_BRAND}'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = part.p_partkey
+          )
+    """,
+    "q55_tpch_q18": f"""
+        WITH big AS (
+          SELECT l_orderkey, {dsum_expr('l_quantity', 2)} AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {dsum_expr('l_quantity', 2)} > {Q18_MIN_QTY}
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               o_totalprice AS total_price, total_qty
+        FROM big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    "q56_hash_split": f"""
+        WITH b AS (
+          SELECT doc_id, lang, n_chars,
+                 ({_h32("CAST(doc_id AS VARCHAR)", "strpos")}) % 100 AS bucket
+          FROM documents
+        )
+        SELECT {_SPLIT_CASE} AS split, lang,
+               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM b GROUP BY 1, 2
+    """,
+}
