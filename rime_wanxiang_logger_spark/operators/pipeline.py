@@ -58,7 +58,9 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     A pipeline keeps cluster_id == doc_id rows and drops the rest.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_signatures(docs))
+    # Checkpoint signatures: the union below has two branches and each
+    # would otherwise re-run the shingle→minhash stage (dedup.q22 doc).
+    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
     # Symmetrize once and pin it: every round re-reads the edge set.
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
