@@ -172,6 +172,74 @@ def test_q50_broadcasts_all_dims(spark, sf_dir):
     assert shuffle_count(df) <= 3, plan
 
 
+def test_q54_correlated_subquery_decorrelates(spark, sf_dir):
+    """TPC-H Q17 shape: Catalyst must rewrite the correlated scalar
+    subquery into an aggregate + join — the physical plan may not
+    contain a per-row Subquery node, and the per-part average must be
+    a plain hash-aggregate feeding the join."""
+    from rime_wanxiang_logger_spark.operators.pipeline import q54_tpch_q17
+
+    df = q54_tpch_q17(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Subquery" not in plan, plan
+    assert op_count(df, "HashAggregate") >= 2, plan
+    assert "p_brand" in " ".join(pushed_filters(df))
+
+
+def test_q55_having_filter_before_join(spark, sf_dir):
+    """Q18 shape: the quantity-threshold filter must apply to the
+    AGGREGATED per-order rows before any join (the join input is the
+    ~1% surviving orders, not the fact table), and the tiny surviving
+    side must broadcast."""
+    from rime_wanxiang_logger_spark.operators.pipeline import q55_tpch_q18
+
+    df = q55_tpch_q18(spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df), plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
+    # formatted explain is top-down: joins (applied later) print above
+    # the aggregate that feeds them.
+    assert join_pos < agg_pos, plan
+
+
+def test_q56_hash_split_single_shuffle_pruned_scan(spark, sf_dir):
+    """The split audit is one scan + one aggregation: exactly one
+    exchange, and the scan reads only the three referenced columns."""
+    from rime_wanxiang_logger_spark.operators.pipeline import q56_hash_split
+
+    df = q56_hash_split(spark, sf_dir)
+    assert shuffle_count(df) == 1, explain_str(df)
+    schemas = read_schema_columns(df)
+    assert schemas and set(schemas[0]) == {"doc_id", "lang", "n_chars"}
+
+
+def test_q53_clusters_are_transitively_closed(spark, sf_dir):
+    """Connected components invariant: both endpoints of every candidate
+    edge land in the same cluster, and each cluster is labeled by its
+    minimum member id."""
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        _candidate_pairs,
+        _signatures,
+    )
+    from rime_wanxiang_logger_spark.operators.pipeline import q53_dedup_clusters
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    label = {
+        r.doc_id: r.cluster_id
+        for r in q53_dedup_clusters(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs)).collect()
+    assert pairs
+    for p in pairs:
+        assert label[p.doc_a] == label[p.doc_b], (p.doc_a, p.doc_b)
+    for doc, lab in label.items():
+        assert lab <= doc
+        assert label[lab] == lab  # the representative is in its own cluster
+
+
 def test_q44_ivf_recall_floor(spark, sf_dir):
     """IVF must stay a useful ANN, not just a self-consistent one:
     recall@k ≥ 0.75 against the exact q26 baseline at sf0.01 (measured
