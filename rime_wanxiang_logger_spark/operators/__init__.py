@@ -55,6 +55,12 @@ try:  # pragma: no cover
     _MODULES.append(pipeline)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import curation
+
+    _MODULES.append(curation)
+except ImportError:
+    pass
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -240,6 +240,35 @@ def test_q53_clusters_are_transitively_closed(spark, sf_dir):
         assert label[lab] == lab  # the representative is in its own cluster
 
 
+def test_q58_funnel_single_scan_two_shuffles(spark, sf_dir):
+    """The curation funnel must be one pass: one documents scan, one
+    fingerprint-partition window exchange, one final groupBy exchange."""
+    from rime_wanxiang_logger_spark.operators.curation import q58_curation_funnel
+
+    df = q58_curation_funnel(spark, sf_dir)
+    # one ReadSchema entry == one file scan
+    assert len(read_schema_columns(df)) == 1, explain_str(df)
+    assert shuffle_count(df) == 2, explain_str(df)
+
+
+def test_q60_funnel_windows_share_one_exchange(spark, sf_dir):
+    """Three chained windows + the per-user groupBy all reuse the single
+    (user_id) partitioning; only the final global aggregate re-shuffles."""
+    from rime_wanxiang_logger_spark.operators.curation import q60_session_funnel
+
+    df = q60_session_funnel(spark, sf_dir)
+    assert op_count(df, "Window") == 3, explain_str(df)
+    assert shuffle_count(df) == 2, explain_str(df)
+
+
+def test_q59_compaction_single_exchange(spark, sf_dir):
+    from rime_wanxiang_logger_spark.operators.curation import q59_latest_by_key
+
+    df = q59_latest_by_key(spark, sf_dir)
+    assert shuffle_count(df) == 1, explain_str(df)
+    assert op_count(df, "Window") == 1
+
+
 def test_q44_ivf_recall_floor(spark, sf_dir):
     """IVF must stay a useful ANN, not just a self-consistent one:
     recall@k ≥ 0.75 against the exact q26 baseline at sf0.01 (measured
