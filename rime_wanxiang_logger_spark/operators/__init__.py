@@ -61,6 +61,12 @@ try:  # pragma: no cover
     _MODULES.append(curation)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import timeseries
+
+    _MODULES.append(timeseries)
+except ImportError:
+    pass
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

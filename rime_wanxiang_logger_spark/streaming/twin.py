@@ -16,6 +16,9 @@ Spark Structured Streaming:
 - ``stateful_asof_stream``: T2/T4 last-state carry per user via
   ``applyInPandasWithState`` — the Lua state machine
   (last_input_state_for_commit, lua:356-380) as explicit keyed state
+- ``attribution_stream``: watermarked stream-stream interval join
+  (purchase ← views within the preceding hour) — state bounded by the
+  range condition, batch-parity tested
 
 At scale: file sources become Kafka; the state store becomes RocksDB
 (``spark.sql.streaming.stateStore.providerClass``); watermarks bound
@@ -155,6 +158,58 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         events.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+ATTRIBUTION_HORIZON = "1 hour"
+
+
+def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: every purchase paired with the same
+    user's views in the preceding ATTRIBUTION_HORIZON.
+
+    Both sides carry watermarks and the join has a time-range bound, so
+    Spark can expire buffered rows: view-side state lives only until
+    ``purchase watermark - horizon`` passes it. Unbounded-state
+    stream-stream joins (no range condition) never evict — this shape
+    is the one that survives production.
+    """
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        base.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"""
+            p_user_id = v_user_id
+            AND view_ts <= purchase_ts
+            AND view_ts >= purchase_ts - INTERVAL {ATTRIBUTION_HORIZON}
+            """
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "view_ts",
+        "view_value",
     )
 
 

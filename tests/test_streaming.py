@@ -190,3 +190,47 @@ def test_dedup_stream_parity(spark, tmp_path):
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_attribution_stream_parity(spark):
+    """Stream-stream interval join must produce exactly the batch
+    join's (purchase, view-within-horizon) pair set."""
+    ev = st.read_events_stream(spark, SMALL_SF)
+    q = st.run_stream_to_memory(
+        st.attribution_stream(ev), "attrib_sink", "append"
+    )
+    try:
+        got = {
+            (r["purchase_id"], r["view_ts"])
+            for r in spark.table("attrib_sink").collect()
+        }
+        from rime_wanxiang_logger_spark.sources.readers import load_table
+
+        base = load_table(spark, SMALL_SF, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        v = base.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("vu"),
+            F.col("ts").alias("view_ts"),
+        )
+        p = base.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        want = {
+            (r["purchase_id"], r["view_ts"])
+            for r in p.join(
+                v,
+                (F.col("user_id") == F.col("vu"))
+                & (F.col("view_ts") <= F.col("purchase_ts"))
+                & (
+                    F.col("view_ts")
+                    >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+                ),
+            ).collect()
+        }
+        assert want  # the fixture contains attributable purchases
+        assert got == want
+    finally:
+        q.stop()
