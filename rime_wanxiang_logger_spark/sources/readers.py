@@ -71,16 +71,25 @@ def read_rime_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def rime_events_clean(df: DataFrame) -> DataFrame:
     """Valid (non-corrupt) events with a parsed event timestamp.
 
-    Filters on ``event_type IS NOT NULL`` rather than on the corrupt
-    column: under PERMISSIVE a malformed line yields NULL for every
-    schema field, and Spark disallows plans whose only referenced raw
-    column is ``_corrupt_record`` (UNSUPPORTED_FEATURE.QUERY_ONLY_
-    CORRUPT_RECORD_COLUMN — e.g. a count() after the filter prunes to
-    exactly that). The discriminator is NOT NULL on every event the
-    producer writes (input_habit_logger.lua:126-163), so this is the
-    same skip semantics as analyzer.go:64-74.
+    Two-part filter matching the Go scanner's whole-line skip
+    (analyzer.go:64-74):
+
+    - ``event_type IS NOT NULL`` drops fully-unparseable lines (every
+      schema field NULL under PERMISSIVE). The discriminator is NOT
+      NULL on every event the producer writes
+      (input_habit_logger.lua:126-163).
+    - ``_corrupt_record IS NULL`` additionally drops PARTIALLY-parsed
+      lines (e.g. a wrong-typed field): PERMISSIVE keeps the fields it
+      could read AND fills the corrupt column — but the reference's
+      ``json.Unmarshal`` rejects the whole line on any type mismatch,
+      so parity requires dropping it here too. Referencing the corrupt
+      column alongside real columns keeps the plan clear of the
+      corrupt-column-only restriction (see ``ingest_rime_jsonl``).
     """
-    return df.where(F.col("event_type").isNotNull()).withColumn(
+    valid = F.col("event_type").isNotNull()
+    if "_corrupt_record" in df.columns:
+        valid = valid & F.col("_corrupt_record").isNull()
+    return df.where(valid).withColumn(
         "ts", F.to_timestamp("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSX")
     )
 

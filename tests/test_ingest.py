@@ -1,0 +1,100 @@
+"""Malformed-input contracts for the JSONL ingest path (SURVEY §5.2.4).
+
+The reference's tolerance spec: blank lines skipped (analyzer.go:64-66),
+malformed JSON skipped with a warning (analyzer.go:70-74), missing
+fields tolerated as absent/NULL (omitempty pointers, analyzer.go:15-25).
+The engine must match those observable semantics — and keep the bad
+rows queryable via the corrupt-record quarantine instead of losing them
+to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from rime_wanxiang_logger_spark.sources.readers import (
+    ingest_rime_jsonl,
+    read_rime_jsonl,
+    rime_events_clean,
+)
+
+GOOD = [
+    {
+        "event_type": "text_committed",
+        "committed_text": "你好",
+        "selected_candidate_rank": 0,
+        "timestamp": "2026-08-13T01:00:01.250Z",
+    },
+    {
+        "event_type": "text_committed",
+        # missing rank + buffer fields — preset pruning (cli.py:341)
+        "committed_text": "世界",
+        "timestamp": "2026-08-13T01:00:02.000Z",
+    },
+    {"event_type": "session_end", "timestamp": "2026-08-13T01:01:00.000Z"},
+]
+BAD = [
+    '{"event_type": "text_committed", "committed_text": ',  # truncated
+    "not json at all",
+]
+
+
+def _write_log(path):
+    with open(path, "w") as f:
+        for r in GOOD[:2]:
+            f.write(json.dumps(r) + "\n")
+        f.write("\n")  # blank line — dropped by the source itself
+        f.write(BAD[0] + "\n")
+        f.write(json.dumps(GOOD[2]) + "\n")
+        f.write(BAD[1] + "\n")
+
+
+def test_malformed_lines_quarantined_not_lost(spark, tmp_path):
+    log = tmp_path / "log.jsonl"
+    _write_log(log)
+    raw = read_rime_jsonl(spark, str(log))
+    clean = rime_events_clean(raw)
+    rows = clean.orderBy("timestamp").collect()
+    # exactly the 3 good events survive, in timestamp order
+    assert [r["event_type"] for r in rows] == [
+        "text_committed",
+        "text_committed",
+        "session_end",
+    ]
+    # missing fields arrive as NULL, not as errors (omitempty parity)
+    assert rows[0]["selected_candidate_rank"] == 0
+    assert rows[1]["selected_candidate_rank"] is None
+    # parsed event-time is populated for every clean row
+    assert all(r["ts"] is not None for r in rows)
+
+
+def test_corrupt_rows_queryable_after_bronze_hop(spark, tmp_path):
+    log = tmp_path / "log.jsonl"
+    _write_log(log)
+    bronze = ingest_rime_jsonl(spark, str(log), str(tmp_path / "bronze"))
+    n_bad = bronze.where(F.col("_corrupt_record").isNotNull()).count()
+    n_good = bronze.where(F.col("event_type").isNotNull()).count()
+    assert n_bad == len(BAD)
+    assert n_good == len(GOOD)
+    # the quarantined payloads are retrievable verbatim for ops triage
+    kept = {
+        r["_corrupt_record"]
+        for r in bronze.where(F.col("_corrupt_record").isNotNull()).collect()
+    }
+    assert kept == set(BAD)
+
+
+def test_wrong_typed_field_is_quarantined(spark, tmp_path):
+    """A line whose rank is a string fails the declared schema and must
+    land in quarantine — never silently coerce."""
+    log = tmp_path / "log.jsonl"
+    row = dict(GOOD[0])
+    row["selected_candidate_rank"] = "zero"
+    with open(log, "w") as f:
+        f.write(json.dumps(row) + "\n")
+        f.write(json.dumps(GOOD[2]) + "\n")
+    bronze = ingest_rime_jsonl(spark, str(log), str(tmp_path / "bronze"))
+    assert bronze.where(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert rime_events_clean(bronze).count() == 1
