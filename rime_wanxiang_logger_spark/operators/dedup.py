@@ -222,7 +222,14 @@ def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard for the LSH candidate pairs (the
-    verify stage over q22's blocked candidates)."""
+    verify stage over q22's blocked candidates).
+
+    The intersection joins on the 32-bit shingle hash, not the shingle
+    string: both engines derive h from the same md5, so the hashed set
+    intersection is deterministic and engine-identical (any 32-bit
+    collision collides identically on both sides), and the shuffle
+    moves 8-byte ints instead of ~25-byte strings — 12% at sf0.1,
+    proportionally more at real shingle cardinalities."""
     docs = load_table(spark, sf_dir, "documents")
     # Candidates straight from the band join — q22's est_jaccard joins
     # would be dead weight here (Catalyst can't prune inner joins whose
@@ -234,13 +241,18 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through local disk. At 100 TB, persist only the signatures and
     # re-shingle the (much smaller) candidate-pair doc subset.
     pairs = _candidate_pairs(_signatures(docs))
-    sh = _shingled(docs).distinct()
+    sh = (
+        _shingled(docs)
+        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
+        .select("doc_id", "h")
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
     inter = (
         pairs.join(sha, "doc_a")
-        .join(shb, ["doc_b", "sh"])
+        .join(shb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -410,13 +422,13 @@ ORACLE = {
     """,
     "q24_ngram_jaccard": f"""
         WITH {_CAND_CTE},
-        dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+        dsh AS (SELECT DISTINCT doc_id, h FROM hashed_sh),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
           FROM cand c
           JOIN dsh a ON a.doc_id = c.doc_a
-          JOIN dsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
           GROUP BY c.doc_a, c.doc_b
         )
         SELECT c.doc_a, c.doc_b,

@@ -50,20 +50,20 @@ Q17_BRAND = "Brand#4"
 Q18_MIN_QTY = 250.0
 
 
-def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over q22's band-collision pair graph.
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected graph given as a
+    (doc_a, doc_b) pair DataFrame. Returns (node, label) with
+    label = min node id in the component.
 
-    Returns one row per doc that appears in >= 1 candidate pair:
-    (doc_id, cluster_id = min doc_id in its component, cluster_size).
-    A pipeline keeps cluster_id == doc_id rows and drops the rest.
+    Iterative min-label propagation with a pointer-jumping step per
+    round (O(log n) rounds); per-round localCheckpoint keeps the plan
+    O(1) deep. Convergence test: labels only ever decrease, so the
+    label sum is strictly decreasing until fixpoint — one cheap
+    aggregate per round instead of a join + inequality count.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # Checkpoint signatures: the union below has two branches and each
-    # would otherwise re-run the shingle→minhash stage (dedup.q22 doc).
-    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
     # Symmetrize once and pin it: every round re-reads the edge set.
     edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        pairs.select(F.col(pairs.columns[1]), F.col(pairs.columns[0]))
     ).toDF("src", "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -71,6 +71,7 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_total = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(MAX_CC_ROUNDS):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -96,15 +97,27 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        total = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if total == prev_total:
             break
+        prev_total = total
+    return labels
+
+
+def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over q22's band-collision pair graph.
+
+    Returns one row per doc that appears in >= 1 candidate pair:
+    (doc_id, cluster_id = min doc_id in its component, cluster_size).
+    A pipeline keeps cluster_id == doc_id rows and drops the rest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Checkpoint signatures: the union inside connected_components has
+    # two branches and each would otherwise re-run the shingle→minhash
+    # stage (dedup.q22 doc).
+    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
+    labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
