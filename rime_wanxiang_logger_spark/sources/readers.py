@@ -85,6 +85,12 @@ def rime_events_clean(df: DataFrame) -> DataFrame:
       so parity requires dropping it here too. Referencing the corrupt
       column alongside real columns keeps the plan clear of the
       corrupt-column-only restriction (see ``ingest_rime_jsonl``).
+
+    NB: on a RAW json scan Spark cannot evaluate filters against
+    ``_corrupt_record`` in the same query (the documented corrupt-
+    column restriction) — the corrupt filter only takes full effect
+    after the bronze hop (or a cache). Pipelines must clean AFTER
+    ``ingest_rime_jsonl``, which is the engine's standard path.
     """
     valid = F.col("event_type").isNotNull()
     if "_corrupt_record" in df.columns:
