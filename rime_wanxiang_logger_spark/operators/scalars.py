@@ -15,6 +15,9 @@ q14_json_extract         X9/X11: JSON payload extraction + int cast
 q15_case_when_classify   X12/X13: selection_method / event_subtype
                          derivation as CASE WHEN chains (lua:254-262,
                          325-339)
+q63_variant_extract      X9 modern path: VARIANT parse-once typed
+                         access (Spark 4) — one decode per payload vs
+                         one parse per extracted path
 
 All expressions are built-in JVM functions inside whole-stage codegen —
 no Python on the hot path. Shuffles only where a groupBy requires one.
@@ -135,6 +138,36 @@ def q15_case_when_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 on the modern path: semi-structured props via the VARIANT
+    type (Spark 4) instead of per-path string parsing.
+
+    ``parse_json`` decodes each payload ONCE into a binary columnar
+    variant; ``variant_get`` then does typed path access without
+    re-parsing — at 100 TB this beats N × get_json_object (N string
+    parses per row) and survives schema drift (missing path → NULL,
+    mirrored by try_variant_get semantics). Output is engine-neutral
+    (plain bigints) so DuckDB's JSON reader can replay it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("cast(variant_get(parse_json(props), '$.k') as bigint)")
+    missing = F.expr(
+        "cast(variant_get(parse_json(props), '$.absent') as bigint)"
+    )
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("absent"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias(
+                "n_missing_path"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q03_regexp_extract": q03_regexp_extract,
     "q11_array_slice": q11_array_slice,
@@ -143,6 +176,7 @@ QUERIES = {
     "q13_ts_parse_bucket": q13_ts_parse_bucket,
     "q14_json_extract": q14_json_extract,
     "q15_case_when_classify": q15_case_when_classify,
+    "q63_variant_extract": q63_variant_extract,
 }
 
 ORACLE = {
@@ -193,6 +227,20 @@ ORACLE = {
                CAST(SUM(k) AS BIGINT) AS sum_k,
                MIN(k) AS min_k, MAX(k) AS max_k
         FROM t GROUP BY 1
+    """,
+    "q63_variant_extract": """
+        WITH t AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 CAST(json_extract_string(props, '$.absent') AS BIGINT) AS absent
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MAX(k) AS max_k,
+               CAST(SUM(CASE WHEN absent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_missing_path
+        FROM t GROUP BY event_type
     """,
     "q15_case_when_classify": f"""
         WITH t AS (SELECT {RANK_SQL} AS rank, event_type FROM events)

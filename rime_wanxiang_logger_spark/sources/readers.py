@@ -112,6 +112,39 @@ def ingest_rime_jsonl(spark: SparkSession, path: str, bronze_dir: str) -> DataFr
     return spark.read.parquet(bronze_dir)
 
 
+def ingest_rime_jsonl_observed(
+    spark: SparkSession, path: str, bronze_dir: str
+):
+    """Bronze ingest with data-quality counters attached via
+    ``Observation`` — the metrics piggyback on the CALLER's first
+    action over the returned DataFrame (no separate counting pass, the
+    property that matters when the ingest is 100 TB).
+
+    Returns ``(bronze_df, observation)``; after any action,
+    ``observation.get`` yields ``{n_rows, n_corrupt, n_missing_ts}``
+    — the operational telemetry the reference loses to stderr warnings
+    (analyzer.go:70-74).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("rime_ingest")
+    bronze = ingest_rime_jsonl(spark, path, bronze_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull()
+                & F.col("timestamp").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_missing_ts"),
+    )
+    return bronze, obs
+
+
 def fanout(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin repartition a *small* input before compute-heavy
     operators (cross joins, per-row hashing, HOF folds, Pandas UDFs).

@@ -98,3 +98,23 @@ def test_wrong_typed_field_is_quarantined(spark, tmp_path):
     bronze = ingest_rime_jsonl(spark, str(log), str(tmp_path / "bronze"))
     assert bronze.where(F.col("_corrupt_record").isNotNull()).count() == 1
     assert rime_events_clean(bronze).count() == 1
+
+
+def test_ingest_observation_piggybacks_on_first_action(spark, tmp_path):
+    """Quality counters must arrive with the caller's own action —
+    no extra pass over the data."""
+    from rime_wanxiang_logger_spark.sources.readers import (
+        ingest_rime_jsonl_observed,
+    )
+
+    log = tmp_path / "log.jsonl"
+    _write_log(log)
+    bronze, obs = ingest_rime_jsonl_observed(
+        spark, str(log), str(tmp_path / "bronze")
+    )
+    n = bronze.count()  # the caller's action; metrics ride along
+    assert n == len(GOOD) + len(BAD)
+    got = obs.get
+    assert got["n_rows"] == len(GOOD) + len(BAD)
+    assert got["n_corrupt"] == len(BAD)
+    assert got["n_missing_ts"] == 0
