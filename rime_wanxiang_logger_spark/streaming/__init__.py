@@ -9,4 +9,5 @@ from .twin import (  # noqa: F401
     run_stream_to_memory,
     session_window_stream,
     stateful_asof_stream,
+    stateful_asof_tws,
 )

@@ -234,3 +234,59 @@ def test_attribution_stream_parity(spark):
         assert got == want
     finally:
         q.stop()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs the "
+    "protobuf package, absent in this container (no pip install); "
+    "the operator is correct API surface for protobuf-equipped "
+    "clusters",
+)
+def test_transform_with_state_matches_legacy_api(spark):
+    """The modern transformWithStateInPandas twin must produce exactly
+    the legacy applyInPandasWithState results (and thus the batch q09
+    oracle, by transitivity with test_stateful_asof_parity)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = st.read_events_stream(spark, SMALL_SF)
+        q = st.run_stream_to_memory(
+            st.stateful_asof_tws(ev), "asof_tws", "append"
+        )
+        try:
+            got = {
+                r["event_id"]: r["prior_value"]
+                for r in spark.sql("SELECT * FROM asof_tws").collect()
+            }
+            batch = {
+                r["event_id"]: r["prior_value"]
+                for r in q09_asof_enrich(spark, SMALL_SF).collect()
+            }
+            assert got == batch
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
