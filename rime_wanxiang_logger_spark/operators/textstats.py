@@ -143,11 +143,54 @@ def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (8-token overlap — context carry for training)
+
+# 1-indexed chunk starts: 1, 1+S, 1+2S, ... while start <= n (at least
+# one chunk even for docs shorter than W).
+_CHUNK_STARTS = (
+    f"sequence(1, greatest(size(split(text, ' ')), 1), {CHUNK_S})"
+)
+
+
+def q64_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the doc→training-sample
+    explosion every LLM pipeline runs. Native formulation: one
+    ``sequence`` of chunk starts + ``explode`` + ``slice`` — pure JVM,
+    no Python in the hot path (the UDTF twin in ``udtf_chunker`` exists
+    to prove the API surface, not to run at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("words"),
+            F.explode(F.expr(_CHUNK_STARTS)).alias("start"),
+        )
+        # keep a chunk only if it adds ≥1 token beyond its predecessor's
+        # coverage [start-S, start-S+W-1]; the first chunk always stays
+        .where(
+            (F.col("start") == 1)
+            | (F.col("start") + F.lit(CHUNK_W - CHUNK_S) <= F.size("words"))
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {CHUNK_S} AS INT)").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("words", F.col("start"), F.lit(CHUNK_W))).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(CHUNK_W), F.size("words") - F.col("start") + 1
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "q28_lang_id": q28_lang_id,
     "q29_text_quality": q29_text_quality,
     "q30_token_count": q30_token_count,
     "q31_fingerprint": q31_fingerprint,
+    "q64_chunk_windows": q64_chunk_windows,
 }
 
 
@@ -215,5 +258,22 @@ ORACLE = {
                                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
                  (acc, c) -> (acc * {_RK_B} + c) % {_RK_P}) AS fp_roll
         FROM documents
+    """,
+    "q64_chunk_windows": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), s AS (
+          SELECT doc_id, words, len(words) AS n,
+                 unnest(generate_series(1, greatest(len(words), 1),
+                                        {CHUNK_S})) AS start
+          FROM t
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_S} AS INT) AS chunk_idx,
+               array_to_string(list_slice(words, start, start + {CHUNK_W - 1}),
+                               ' ') AS chunk_text,
+               CAST(LEAST({CHUNK_W}, n - start + 1) AS INT) AS n_chunk_tokens
+        FROM s
+        WHERE start = 1 OR start + {CHUNK_W - CHUNK_S} <= n
     """,
 }
