@@ -212,11 +212,50 @@ def q56_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q21 shape, adapted to the testdata columns: the dataset has no
+# receipt/commit dates, so "failed the order" is stood in by
+# l_returnflag = 'R' (returned). Semantics preserved exactly:
+# supplier's own line failed AND ∃ another supplier in the order AND
+# ∄ another supplier whose line failed. ANSI, runs verbatim in both
+# engines; Catalyst rewrites EXISTS → left-semi and NOT EXISTS →
+# left-anti joins (no per-row subquery execution).
+_Q21_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+"""
+
+
+def q65_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole failing supplier in
+    multi-supplier orders — EXISTS + NOT EXISTS correlated subqueries,
+    the remaining classic decorrelation pattern (Q17 covers scalar
+    subqueries, Q18 covers IN/HAVING)."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
+
+
 QUERIES = {
     "q53_dedup_clusters": q53_dedup_clusters,
     "q54_tpch_q17": q54_tpch_q17,
     "q55_tpch_q18": q55_tpch_q18,
     "q56_hash_split": q56_hash_split,
+    "q65_tpch_q21": q65_tpch_q21,
 }
 
 ORACLE = {
@@ -278,4 +317,5 @@ ORACLE = {
                COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
         FROM b GROUP BY 1, 2
     """,
+    "q65_tpch_q21": _Q21_SQL,
 }

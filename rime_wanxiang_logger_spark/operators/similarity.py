@@ -143,10 +143,56 @@ def q27_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.join(pop, "sig").select("vec_id", "sig", "bucket_n")
 
 
+# int8 scalar quantization: code = floor((x-lo)/(hi-lo)*254 + 0.5) - 127
+# per dimension (floor(+0.5) — the engine's portable round, identical
+# in both engines; constant dims quantize to 0).
+_QUANT_LAMBDA = (
+    "transform(v, (x, i) -> CASE "
+    "WHEN element_at(hi, i + 1) = element_at(lo, i + 1) THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(floor((x - element_at(lo, i + 1)) "
+    "/ (element_at(hi, i + 1) - element_at(lo, i + 1)) * 254.0 + 0.5) AS BIGINT)"
+    " - 127 END)"
+)
+
+
+def q66_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max int8 scalar quantization — the 4×
+    compression pass a 100 TB vector store runs before ANN indexing.
+
+    Scale design: dimension stats come from ONE unrolled aggregate
+    (2·d min/max columns, map-side combinable — never the n×d explode
+    + shuffle formulation), the 1-row stats broadcast to every
+    partition, and the quantization itself is a JVM `transform` lambda.
+    Output pins the codes via md5 so the oracle comparison covers every
+    element without array-typed columns.
+    """
+    v = _vecs(spark, sf_dir)
+    dim = v.select(F.size("v")).first()[0]  # metadata probe, one tiny job
+    stats = v.agg(
+        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("lo"),
+        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("hi"),
+    )
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.expr(_QUANT_LAMBDA).alias("codes"))
+        .select(
+            "vec_id",
+            F.md5(
+                F.array_join(F.expr("transform(codes, c -> CAST(c AS STRING))"), ",")
+            ).alias("codes_hash"),
+            F.expr(
+                "aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + c)"
+            ).alias("code_sum"),
+            F.expr("size(filter(codes, c -> abs(c) = 127))").alias("n_clipped"),
+        )
+    )
+
+
 QUERIES = {
     "q25_embedding_neardup": q25_embedding_neardup,
     "q26_ann_topk": q26_ann_topk,
     "q27_ann_lsh": q27_ann_lsh,
+    "q66_embedding_quantize": q66_embedding_quantize,
 }
 
 _DOT_DUCK = (
@@ -208,5 +254,29 @@ ORACLE = {
         )
         SELECT s.vec_id, s.sig, p.bucket_n
         FROM sig s JOIN pop p USING (sig)
+    """,
+    "q66_embedding_quantize": """
+        WITH ix AS (
+          SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS dim
+          FROM embeddings
+        ), vals AS (
+          SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM ix
+        ), stats AS (
+          SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM vals GROUP BY dim
+        ), codes AS (
+          SELECT vec_id, dim,
+                 CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor((x - lo) / (hi - lo) * 254.0 + 0.5)
+                                AS BIGINT) - 127 END AS code
+          FROM vals JOIN stats USING (dim)
+        )
+        SELECT vec_id,
+               md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim))
+                 AS codes_hash,
+               CAST(SUM(code) AS BIGINT) AS code_sum,
+               CAST(COUNT(*) FILTER (WHERE abs(code) = 127) AS INT)
+                 AS n_clipped
+        FROM codes GROUP BY vec_id
     """,
 }

@@ -280,3 +280,17 @@ def test_q44_ivf_recall_floor(spark, sf_dir):
     ivf = {(r.q_id, r.n_id) for r in q44_ann_ivf(spark, sf_dir).collect()}
     assert exact
     assert len(exact & ivf) / len(exact) >= 0.75
+
+
+def test_q65_exists_rewrites_to_semi_anti_joins(spark, sf_dir):
+    """Q21 shape: Catalyst must rewrite EXISTS into a left-semi join
+    and NOT EXISTS into a left-anti join — no per-row Subquery nodes —
+    and the order-status filter must reach the orders scan."""
+    from rime_wanxiang_logger_spark.operators.pipeline import q65_tpch_q21
+
+    df = q65_tpch_q21(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Subquery" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert any("o_orderstatus" in f for f in pushed_filters(df))
