@@ -185,12 +185,45 @@ def q64_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring per (doc, term) — the classic relevance /
+    keyword-extraction pass of a text pipeline.
+
+    Scale design: term frequencies are one explode + hash-aggregate
+    (map-side combined); document frequencies aggregate the ALREADY
+    per-doc-distinct tf rows, so df never rescans the corpus; the
+    vocabulary (df) and the 1-row corpus count broadcast back onto tf —
+    no fact-side reshuffle. Scores round to 9 dp (`ln` may differ in
+    the last ulp across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+
+
 QUERIES = {
     "q28_lang_id": q28_lang_id,
     "q29_text_quality": q29_text_quality,
     "q30_token_count": q30_token_count,
     "q31_fingerprint": q31_fingerprint,
     "q64_chunk_windows": q64_chunk_windows,
+    "q68_tfidf": q68_tfidf,
 }
 
 
@@ -275,5 +308,20 @@ ORACLE = {
                CAST(LEAST({CHUNK_W}, n - start + 1) AS INT) AS n_chunk_tokens
         FROM s
         WHERE start = 1 OR start + {CHUNK_W - CHUNK_S} <= n
+    """,
+    "q68_tfidf": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        )
+        SELECT doc_id, term, tf, df,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+        FROM tf JOIN dfreq USING (term), n
     """,
 }

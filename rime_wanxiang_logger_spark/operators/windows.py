@@ -128,11 +128,36 @@ def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function pack (extension): row_number/ntile over a
+    total order plus rank/dense_rank/percent_rank/cume_dist over a
+    tie-ful order — the tie semantics are the point, no other query
+    exercises them.
+
+    Both windows share ONE (o_orderpriority) hash partitioning, so the
+    plan is a single exchange with two in-partition sorts — never two
+    shuffles, and never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    wa = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wb = W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.row_number().over(wa).alias("row_n"),
+        F.ntile(4).over(wa).alias("quartile"),
+        F.rank().over(wb).alias("rnk"),
+        F.dense_rank().over(wb).alias("drnk"),
+        F.percent_rank().over(wb).alias("pct_rank"),
+        F.cume_dist().over(wb).alias("cume"),
+    )
+
+
 QUERIES = {
     "q08_freq_window": q08_freq_window,
     "q09_asof_enrich": q09_asof_enrich,
     "q10_topk_misses": q10_topk_misses,
     "q33_sessionize": q33_sessionize,
+    "q67_rank_functions": q67_rank_functions,
 }
 
 ORACLE = {
@@ -204,5 +229,19 @@ ORACLE = {
                rank, miss_freq
         FROM per_key
         QUALIFY position <= 10
+    """,
+    "q67_rank_functions": """
+        SELECT o_orderkey,
+               o_orderpriority AS priority,
+               CAST(row_number() OVER wa AS INT) AS row_n,
+               CAST(ntile(4) OVER wa AS INT) AS quartile,
+               CAST(rank() OVER wb AS INT) AS rnk,
+               CAST(dense_rank() OVER wb AS INT) AS drnk,
+               percent_rank() OVER wb AS pct_rank,
+               cume_dist() OVER wb AS cume
+        FROM orders
+        WINDOW wa AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey),
+               wb AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
     """,
 }

@@ -294,3 +294,14 @@ def test_q65_exists_rewrites_to_semi_anti_joins(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert any("o_orderstatus" in f for f in pushed_filters(df))
+
+
+def test_q67_rank_pack_single_exchange(spark, sf_dir):
+    """Both ranking windows partition on the same key: one hash
+    exchange, two in-partition sorts — never a second shuffle or a
+    global sort."""
+    from rime_wanxiang_logger_spark.operators.windows import q67_rank_functions
+
+    df = q67_rank_functions(spark, sf_dir)
+    assert shuffle_count(df) == 1, explain_str(df)
+    assert op_count(df, "Sort") == 2, explain_str(df)
