@@ -190,20 +190,24 @@ def q68_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-extraction pass of a text pipeline.
 
     Scale design: term frequencies are one explode + hash-aggregate
-    (map-side combined); document frequencies aggregate the ALREADY
-    per-doc-distinct tf rows, so df never rescans the corpus; the
-    vocabulary (df) and the 1-row corpus count broadcast back onto tf —
-    no fact-side reshuffle. Scores round to 9 dp (`ln` may differ in
-    the last ulp across engines)."""
+    (map-side combined); document frequencies are a count-over-window
+    on the ALREADY per-doc-distinct tf rows (the q08 transform-count
+    idiom — a separate groupBy + join would recompute the whole
+    explode+tf subtree per branch, Catalyst can't reuse the exchanges
+    because each branch prunes different columns). Net plan: ONE corpus
+    scan, one Generate, two exchanges. The 1-row corpus count
+    broadcasts. Scores round to 9 dp (`ln` may differ in the last ulp
+    across engines)."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
