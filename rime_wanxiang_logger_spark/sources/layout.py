@@ -29,6 +29,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def write_events_jsonl(events: DataFrame, path: str, mode: str = "append") -> None:
+    """K1 sink twin: one JSON object per event, append-mode — the
+    reference producer's ``io.open(path, "a")`` + one line per event
+    (input_habit_logger.lua:166-176). Timestamps serialize in the
+    producer's ISO-8601-with-ms UTC format (lua:166-167); null fields
+    are suppressed exactly as the producer's config-driven field
+    pruning never writes them (lua:150-163)."""
+    (
+        events.write.mode(mode)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSX")
+        .option("ignoreNullFields", True)
+        .json(path)
+    )
+
+
 def write_events_partitioned(events: DataFrame, path: str) -> None:
     """Write the event stream date-partitioned (event_date derived from
     ts); the layout every time-ranged query prunes on."""

@@ -10,4 +10,5 @@ from .twin import (  # noqa: F401
     session_window_stream,
     stateful_asof_stream,
     stateful_asof_tws,
+    stream_to_parquet_foreachbatch,
 )

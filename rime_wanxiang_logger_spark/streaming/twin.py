@@ -283,6 +283,36 @@ def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def stream_to_parquet_foreachbatch(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """M7 production sink: ``foreachBatch`` → parquet, idempotent under
+    micro-batch replay. Each batch lands in its own ``_batch_id=N``
+    partition with dynamic partition overwrite, so a batch replayed
+    after a failure between the write and the checkpoint commit
+    overwrites itself instead of duplicating — effective exactly-once
+    on top of foreachBatch's at-least-once contract. Drains with
+    ``availableNow`` (bounded run; the same code runs continuously in
+    production)."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str):
     """Drive a bounded 'stream' to completion synchronously; returns the
     query handle (results in the in-memory table ``name``)."""

@@ -53,3 +53,21 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_jsonl_sink_append_roundtrip(spark, tmp_path):
+    """K1 sink: JSONL out, JSONL back in — append mode accumulates
+    (the reference's io.open("a") semantics), and every event_id
+    survives the round trip."""
+    ev = load_table(spark, SMALL_SF, "events")
+    path = str(tmp_path / "events_jsonl")
+    from rime_wanxiang_logger_spark.sources.layout import write_events_jsonl
+
+    write_events_jsonl(ev, path)
+    back = spark.read.json(path)
+    assert back.count() == ev.count()
+    assert (
+        back.select("event_id").exceptAll(ev.select("event_id")).count() == 0
+    )
+    write_events_jsonl(ev, path)  # append again → doubles
+    assert spark.read.json(path).count() == 2 * ev.count()

@@ -290,3 +290,20 @@ def test_transform_with_state_matches_legacy_api(spark):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def test_foreachbatch_parquet_idempotent(spark, tmp_path):
+    """M7 sink: availableNow drain through foreachBatch lands every
+    event exactly once; a re-drain from the same checkpoint (no new
+    input) changes nothing."""
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    st.stream_to_parquet_foreachbatch(
+        st.read_events_stream(spark, SMALL_SF), out, chk
+    )
+    n1 = spark.read.parquet(out).count()
+    expected = spark.read.parquet(SMALL_SF + "/events.parquet").count()
+    assert n1 == expected
+    st.stream_to_parquet_foreachbatch(
+        st.read_events_stream(spark, SMALL_SF), out, chk
+    )
+    assert spark.read.parquet(out).count() == n1
