@@ -221,6 +221,68 @@ def q68_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_PAIR_COUNT = 5  # collocation support threshold
+
+
+def q69_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocation mining — the phrase-extraction pass that
+    feeds tokenizer-vocabulary and stop-phrase decisions.
+
+    Scale design: one corpus scan per token stream (unigram, bigram),
+    each a map-side-combined hash-aggregate; the corpus totals derive
+    from the ALREADY-aggregated count tables (sum over vocab rows, no
+    rescans); unigram counts broadcast onto the bigram vocabulary.
+    PMI rounds to 9 dp (`ln` last-ulp variance across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    cx = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    pairs = docs.where(F.size(F.split("text", " ")) >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= MIN_PAIR_COUNT)
+    )
+    # Every doc yields ≥1 token (split of "" is [""]), so the bigram
+    # total is exactly n_uni - n_docs — derived from the aggregated
+    # vocab + a count-only scan, never a second explode pass (the q68
+    # per-branch-recompute trap).
+    totals = (
+        cx.agg(F.sum("c").alias("n_uni"))
+        .crossJoin(load_table(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ))
+        .select("n_uni", (F.col("n_uni") - F.col("n_docs")).alias("n_bi"))
+    )
+    c1 = cx.select(F.col("term").alias("w1"), F.col("c").alias("c_w1"))
+    c2 = cx.select(F.col("term").alias("w2"), F.col("c").alias("c_w2"))
+    return (
+        cxy.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_xy",
+            "c_w1",
+            "c_w2",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n_bi"))
+                    / ((F.col("c_w1") / F.col("n_uni")) * (F.col("c_w2") / F.col("n_uni")))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
     "q28_lang_id": q28_lang_id,
     "q29_text_quality": q29_text_quality,
@@ -228,6 +290,7 @@ QUERIES = {
     "q31_fingerprint": q31_fingerprint,
     "q64_chunk_windows": q64_chunk_windows,
     "q68_tfidf": q68_tfidf,
+    "q69_bigram_pmi": q69_bigram_pmi,
 }
 
 
@@ -327,5 +390,34 @@ ORACLE = {
         SELECT doc_id, term, tf, df,
                round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
         FROM tf JOIN dfreq USING (term), n
+    """,
+    "q69_bigram_pmi": f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), uni AS (
+          SELECT unnest(words) AS term FROM w
+        ), cx AS (
+          SELECT term, COUNT(*) AS c FROM uni GROUP BY 1
+        ), pairs AS (
+          SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+                        i -> struct_pack(w1 := words[i], w2 := words[i + 1])))
+                   AS p
+          FROM w WHERE len(words) >= 2
+        ), cxy AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_xy
+          FROM pairs GROUP BY 1, 2
+          HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+        ), totals AS (
+          SELECT CAST((SELECT SUM(c) FROM cx) AS BIGINT) AS n_uni,
+                 CAST((SELECT SUM(c) FROM cx) AS BIGINT)
+                   - (SELECT COUNT(*) FROM documents) AS n_bi
+        )
+        SELECT w1 || ' ' || w2 AS bigram, c_xy, a.c AS c_w1, b.c AS c_w2,
+               round(ln((c_xy / n_bi)
+                        / ((a.c / n_uni) * (b.c / n_uni))), 9) AS pmi
+        FROM cxy
+        JOIN cx a ON a.term = w1
+        JOIN cx b ON b.term = w2
+        CROSS JOIN totals
     """,
 }
