@@ -235,16 +235,29 @@ def q69_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI rounds to 9 dp (`ln` last-ulp variance across engines)."""
     docs = load_table(spark, sf_dir, "documents")
     uni = docs.select(F.explode(F.split("text", " ")).alias("term"))
-    cx = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    pairs = docs.where(F.size(F.split("text", " ")) >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # Vocabulary counts feed three consumers (w1 join, w2 join, n_uni
+    # total) — pin the tiny aggregate once or every branch re-explodes
+    # the corpus (same localCheckpoint pattern as q53's signatures).
+    cx = (
+        uni.groupBy("term").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    # words materialized as a column BEFORE the lambda: element_at on a
+    # bound array is O(1), while split(text) inside the lambda body
+    # would re-tokenize per element (O(len²)/doc — measured 4×).
+    pairs = (
+        docs.select(F.split("text", " ").alias("words"))
+        .where(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1), "
+                    "i -> struct(element_at(words, i) AS w1, "
+                    "element_at(words, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     cxy = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))

@@ -305,3 +305,28 @@ def test_q67_rank_pack_single_exchange(spark, sf_dir):
     df = q67_rank_functions(spark, sf_dir)
     assert shuffle_count(df) == 1, explain_str(df)
     assert op_count(df, "Sort") == 2, explain_str(df)
+
+
+def test_q68_tfidf_one_corpus_pass(spark, sf_dir):
+    """TF-IDF must explode the corpus exactly once (df is a window on
+    the tf rows, not a second aggregate branch — Catalyst can't reuse
+    exchanges across branches with different pruning)."""
+    from rime_wanxiang_logger_spark.operators.textstats import q68_tfidf
+
+    df = q68_tfidf(spark, sf_dir)
+    plan = explain_str(df)
+    assert op_count(df, "Generate") == 1, plan
+    assert len(read_schema_columns(df)) <= 2, plan  # corpus + count-only
+
+
+def test_q69_pmi_no_extra_explode(spark, sf_dir):
+    """PMI totals derive from the aggregated vocab: one unigram and one
+    bigram explode, never a third pass for the denominators."""
+    from rime_wanxiang_logger_spark.operators.textstats import q69_bigram_pmi
+
+    df = q69_bigram_pmi(spark, sf_dir)
+    plan = explain_str(df)
+    # vocab is checkpointed: only the bigram explode remains in the
+    # final plan; one text scan + the count-only n_docs scan
+    assert op_count(df, "Generate") == 1, plan
+    assert len(read_schema_columns(df)) <= 2, plan
