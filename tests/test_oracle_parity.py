@@ -36,3 +36,18 @@ def test_entry_smoke(spark):
     assert len(rows) == 1
     assert rows[0]["total_commits"] > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_paired_and_unshadowed():
+    """Every registered query carries an oracle (the driver's strong
+    gate), and no module shadows another's query name (dict.update in
+    the registry would do it silently)."""
+    from rime_wanxiang_logger_spark import operators as ops
+
+    assert set(ORACLES) == set(QUERIES)
+    seen: dict[str, str] = {}
+    for m in ops._MODULES:
+        for name in m.QUERIES:
+            assert name not in seen, f"{name} in both {seen[name]} and {m.__name__}"
+            seen[name] = m.__name__
+    assert len(seen) == len(QUERIES) == 70
