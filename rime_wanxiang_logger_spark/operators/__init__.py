@@ -85,7 +85,9 @@ _DRIVER_VERIFIED = frozenset({
     "q15_case_when_classify", "q16_join_broadcast", "q17_join_multiway",
     "q18_semi_anti", "q19_distinct_union", "q20_rollup",
     "q21_dedup_exact", "q22_minhash_lsh", "q23_simhash",
-    "q24_ngram_jaccard", "q25_embedding_neardup", "q26_ann_topk",
+    # q25 re-registered in r2 as the banded-LSH composition (semantics
+    # changed) → dropped from the verified set so the driver re-checks.
+    "q24_ngram_jaccard", "q26_ann_topk",
     "q27_ann_lsh", "q28_lang_id", "q29_text_quality", "q30_token_count",
     "q31_fingerprint", "q32_multimodal_decode", "q33_sessionize",
     "q34_tumbling_window", "q35_asof_join", "q36_range_join",

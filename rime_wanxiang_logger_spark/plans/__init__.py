@@ -6,5 +6,6 @@ from .inspect import (  # noqa: F401
     pushed_filters,
     read_schema_columns,
     shuffle_count,
+    unpartitioned_windows,
     uses_python_eval,
 )

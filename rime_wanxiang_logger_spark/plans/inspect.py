@@ -71,3 +71,45 @@ def uses_python_eval(df: DataFrame) -> bool:
 def is_codegen(df: DataFrame) -> bool:
     """True if any span of the plan runs under whole-stage codegen."""
     return "codegen id" in explain_str(df)
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window specs with ORDER BY but NO partition columns — the shape
+    WindowExec warns about ("No Partition Defined … single partition"):
+    every pre-frame argument carries an ASC/DESC marker.
+
+    The engine bans these outright: global ranks and prefix sums go
+    through windows.global_cumsum / global_row_number (two-phase, with
+    a triangular offset join instead of an offset window). A constant
+    partitionBy(lit(...)) does NOT count as partitioned — Catalyst
+    folds it away before execution. An entry here is a scale bug.
+    """
+    plan = explain_str(df)
+    bad: list[str] = []
+    needle = "windowspecdefinition("
+    i = plan.find(needle)
+    while i != -1:
+        j = i + len(needle)
+        depth, args, cur = 1, [], []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            j += 1
+        if cur:
+            args.append("".join(cur).strip())
+        spec = [a for a in args if not a.startswith("specifiedwindowframe")]
+        ordered = [a for a in spec if " ASC" in a or " DESC" in a]
+        if spec and ordered and len(ordered) == len(spec):
+            bad.append(plan[i : j + 1])
+        i = plan.find(needle, j)
+    return bad
