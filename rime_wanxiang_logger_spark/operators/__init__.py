@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import aggregates, extensions, joins, misses, scalars, scans, windows
+from . import aggregates, extensions, joins, misses, rime, scalars, scans, windows
 
-_MODULES = [scans, misses, aggregates, windows, scalars, joins, extensions]
+_MODULES = [scans, misses, aggregates, windows, scalars, joins, extensions, rime]
 
 # Optional modules land here as they are built (dedup, similarity,
 # textstats, multimodal) — appended in later milestones.

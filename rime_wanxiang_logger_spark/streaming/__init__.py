@@ -10,5 +10,6 @@ from .twin import (  # noqa: F401
     session_window_stream,
     stateful_asof_stream,
     stateful_asof_tws,
+    stateful_page_rank_stream,
     stream_to_parquet_foreachbatch,
 )

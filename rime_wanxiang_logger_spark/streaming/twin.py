@@ -147,12 +147,140 @@ def stateful_asof_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_page_rank_stream(events: DataFrame) -> DataFrame:
+    """T3 + T4 as EXPLICIT keyed streaming state: the FULL Lua machine
+    — page index (reset on buffer change, ±1 nav clamped at 0,
+    lua:309-317), commit snapshot (page + candidates while menu open,
+    cleared on menu close, lua:359-371), and the selection-key latch
+    (set to space/digit only while the menu is open, cleared after
+    every key AND after every commit, lua:373-380, 277).
+
+    Emits one row per commit with the replayed
+    ``rank = page*6 + local_index`` (lua:242, 250). Batch twin:
+    ``operators/rime.py::page_rank_replay`` — the parity test feeds
+    both the same staged events and asserts identical output.
+
+    State is one fixed-width row per session key (candidates stored as
+    a JSON string so the state schema stays flat); at scale the state
+    store is RocksDB and the source is Kafka partitioned by session.
+
+    NB (ordering): each pandas chunk is sorted independently; rows of
+    one key spanning multiple Arrow batches rely on the source feeding
+    them in order within the micro-batch (the test harness stages one
+    pre-sorted file; production pairs this with a source partitioned
+    and ordered by session).
+    """
+
+    def make_fn():
+        # Closure on purpose — pickled by value (multimodal.py rule);
+        # the key tables are locals so no module global ships to workers.
+        nav = {"Page_Down": 1, "Next": 1, "Page_Up": -1, "Prev": -1}
+        select_keys = {"space", "1", "2", "3", "4", "5", "6", "7", "8", "9"}
+
+        def fn(key, pdfs, state: GroupState):
+            import json as _json
+
+            import pandas as _pd
+
+            if state.exists:
+                page, last_seen, snap_pg, snap_cands, latch = state.get
+            else:
+                page, last_seen, snap_pg, snap_cands, latch = (
+                    0, "", None, None, None,
+                )
+            out = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values("event_id")
+                for row in pdf.itertuples(index=False):
+                    if row.event_type == "input_state_changed":
+                        buf = row.input_buffer or ""
+                        if buf != last_seen:  # reset BEFORE nav (lua:309)
+                            page, last_seen = 0, buf
+                        page = max(0, page + nav.get(row.key_action, 0))
+                        if row.has_menu:
+                            snap_pg = page
+                            snap_cands = (
+                                _json.dumps(list(row.candidates))
+                                if row.candidates is not None
+                                else None
+                            )
+                        else:  # menu closed (lua:366-369)
+                            snap_pg, snap_cands = 0, None
+                        latch = (
+                            row.key_action
+                            if row.has_menu and row.key_action in select_keys
+                            else None
+                        )
+                    elif row.event_type == "text_committed":
+                        pg = snap_pg if snap_pg is not None else 0
+                        if latch is None:
+                            rank = -1  # direct-commit sentinel (lua:222)
+                        elif latch == "space":
+                            cands = (
+                                _json.loads(snap_cands) if snap_cands else None
+                            )
+                            li = (
+                                cands.index(row.committed_text)
+                                if cands and row.committed_text in cands
+                                else 0  # fallback (lua:244-246)
+                            )
+                            rank = pg * 6 + li
+                        else:
+                            rank = pg * 6 + int(latch) - 1
+                        out.append(
+                            (
+                                row.event_id,
+                                key[0],
+                                row.committed_text,
+                                pg,
+                                latch,
+                                rank,
+                            )
+                        )
+                        latch = None  # cleared after commit (lua:277)
+            state.update((page, last_seen, snap_pg, snap_cands, latch))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "event_id",
+                    "session_id",
+                    "committed_text",
+                    "page_index",
+                    "selection_key",
+                    "replayed_rank",
+                ],
+            )
+
+        return fn
+
+    return events.groupBy("session_id").applyInPandasWithState(
+        make_fn(),
+        outputStructType=(
+            "event_id bigint, session_id bigint, committed_text string, "
+            "page_index bigint, selection_key string, replayed_rank bigint"
+        ),
+        stateStructType=(
+            "page bigint, last_seen string, snap_pg bigint, "
+            "snap_cands string, latch string"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_asof_tws(events: DataFrame) -> DataFrame:
     """T2/T4 last-state carry on the MODERN stateful API
     (``transformWithStateInPandas``, Spark 4): same semantics as
     ``stateful_asof_stream`` but with typed per-key value state, state
     TTL support, and timer hooks — the API Spark is converging on for
     custom streaming state (applyInPandasWithState is the legacy twin).
+
+    NB (ordering): as with the legacy twin, each pandas chunk is sorted
+    independently — if one key's rows span multiple Arrow batches the
+    (ts, event_id) order is only per-chunk, so the prior_value carry
+    assumes the source delivers each key's rows in order within a
+    micro-batch (test harness: one sorted batch; production: a source
+    partitioned and ordered by key).
 
     Requires the RocksDB state-store provider and the ``protobuf``
     package (the TWS state-server protocol is protobuf-framed; absent

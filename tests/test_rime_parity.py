@@ -245,3 +245,180 @@ def test_session_ids(spark):
         for r in session_ids(_mk_events(spark, rows)).collect()
     }
     assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2}
+
+
+# ---------------------------------------------------------------------------
+# T3/T4: page-index + selection-key latch replay (lua:309-317, 359-380,
+# consumed at 215-251; latch cleared after commit at lua:277)
+# ---------------------------------------------------------------------------
+
+NAV = {"Page_Down": 1, "Next": 1, "Page_Up": -1, "Prev": -1}
+SELECT = {"space", "1", "2", "3", "4", "5", "6", "7", "8", "9"}
+
+
+def lua_page_rank_replay(events):
+    """Sequential transcription of the producer's page/latch machine.
+    State dies with the session (the engine's contract; see
+    page_rank_replay docstring)."""
+    page, last_seen = 0, ""
+    snap_pg, snap_cands, latch = None, None, None
+    out = {}
+    for ev in events:
+        t = ev["event_type"]
+        if t == "session_start":
+            page, last_seen = 0, ""
+            snap_pg, snap_cands, latch = None, None, None
+        elif t == "input_state_changed":
+            buf = ev.get("input_buffer") or ""
+            if buf != last_seen:  # reset BEFORE nav (lua:309-312)
+                page, last_seen = 0, buf
+            page = max(0, page + NAV.get(ev.get("key_action"), 0))
+            if ev.get("has_menu"):
+                snap_pg, snap_cands = page, ev.get("candidates")
+            else:  # menu closed (lua:366-369)
+                snap_pg, snap_cands = 0, None
+            ka = ev.get("key_action")
+            latch = ka if ev.get("has_menu") and ka in SELECT else None
+        elif t == "text_committed":
+            pg = snap_pg if snap_pg is not None else 0
+            if latch is None:
+                rank = -1
+            elif latch == "space":
+                txt = ev.get("committed_text")
+                li = snap_cands.index(txt) if snap_cands and txt in snap_cands else 0
+                rank = pg * 6 + li
+            else:
+                rank = pg * 6 + int(latch) - 1
+            out[ev["ingest_id"]] = (pg, latch, rank)
+            latch = None  # cleared after commit (lua:277)
+    return out
+
+
+PAGE_SCHEMA = (
+    "event_type string, committed_text string, key_action string,"
+    " input_buffer string, has_menu boolean, candidates array<string>,"
+    " ingest_id bigint"
+)
+
+
+def _page_rows(events):
+    return [
+        (
+            ev["event_type"],
+            ev.get("committed_text"),
+            ev.get("key_action"),
+            ev.get("input_buffer"),
+            ev.get("has_menu"),
+            ev.get("candidates"),
+            ev["ingest_id"],
+        )
+        for ev in events
+    ]
+
+
+def _run_page_replay(spark, events):
+    from rime_wanxiang_logger_spark.operators.rime import page_rank_replay
+
+    df = session_ids(spark.createDataFrame(_page_rows(events), PAGE_SCHEMA))
+    got = page_rank_replay(df)
+    return {
+        r["ingest_id"]: (
+            r["page_index"],
+            r["selection_key"],
+            r["replayed_rank"],
+        )
+        for r in got.collect()
+    }
+
+
+def test_page_rank_replay_golden(spark):
+    """Hand-crafted sequence pinning every Lua transition: clamp at 0,
+    reset-before-nav, page accumulation, menu close, latch clear at
+    commit, space hit vs fallback, digit rank."""
+    CANDS = ["甲", "乙", "丙"]
+
+    def key(i, ka, buf="abc", menu=True, cands=CANDS):
+        return {
+            "event_type": "input_state_changed", "ingest_id": i,
+            "key_action": ka, "input_buffer": buf, "has_menu": menu,
+            "candidates": cands,
+        }
+
+    def commit(i, txt):
+        return {
+            "event_type": "text_committed", "ingest_id": i,
+            "committed_text": txt,
+        }
+
+    events = [
+        {"event_type": "session_start", "ingest_id": 0},
+        key(1, "Page_Up"),          # clamp: max(0, 0-1) = 0
+        key(2, "Page_Down"),        # page 1
+        key(3, "Next"),             # page 2
+        key(4, "space"),            # latch space, page 2
+        commit(5, "乙"),            # rank = 2*6 + 1 = 13
+        commit(6, "乙"),            # latch cleared at commit → -1
+        key(7, "3"),                # digit latch, page 2
+        commit(8, "丙"),            # rank = 2*6 + (3-1) = 14
+        key(9, "Page_Down", buf="xy"),  # buffer change: reset THEN +1 → 1
+        key(10, "space", buf="xy"),  # same buffer: latch space, page stays 1
+        commit(11, "外"),           # not in candidates → fallback 1*6+0=6
+        key(12, "space", menu=False),  # menu closed: snap (0,nil), no latch
+        commit(13, "甲"),           # latch None → -1, page 0
+        {"event_type": "session_start", "ingest_id": 14},  # state dies
+        key(15, "1"),               # fresh session, page 0 (buf change resets)
+        commit(16, "甲"),           # rank = 0*6 + 0 = 0
+    ]
+    want = {
+        5: (2, "space", 13),
+        6: (2, None, -1),
+        8: (2, "3", 14),
+        11: (1, "space", 6),
+        13: (0, None, -1),
+        16: (0, "1", 0),
+    }
+    assert _run_page_replay(spark, events) == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_page_rank_replay_matches_sequential_oracle(spark, data):
+    n = data.draw(st.integers(min_value=5, max_value=40))
+    events = []
+    for i in range(n):
+        kind = data.draw(
+            st.sampled_from(
+                ["session_start"] + ["input_state_changed"] * 4
+                + ["text_committed"] * 3
+            )
+        )
+        ev = {"event_type": kind, "ingest_id": i}
+        if kind == "input_state_changed":
+            ev["key_action"] = data.draw(
+                st.sampled_from(
+                    ["Page_Down", "Page_Up", "Next", "Prev", "space",
+                     "1", "3", "9", "a", "BackSpace"]
+                )
+            )
+            # "" exercises the lua init value of last_seen_input_buffer
+            ev["input_buffer"] = data.draw(st.sampled_from(["", "b1", "b2"]))
+            ev["has_menu"] = data.draw(st.booleans())
+            ev["candidates"] = data.draw(
+                st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.sampled_from(["甲", "乙", "丙", "丁"]),
+                        min_size=1, max_size=4, unique=True,
+                    ),
+                )
+            )
+        elif kind == "text_committed":
+            ev["committed_text"] = data.draw(
+                st.sampled_from(["甲", "乙", "丙", "外"])
+            )
+        events.append(ev)
+    assert _run_page_replay(spark, events) == lua_page_rank_replay(events)
