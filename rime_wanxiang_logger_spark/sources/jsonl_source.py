@@ -126,6 +126,16 @@ def make_rime_jsonl_datasource():
             base = partition.index << 32
             with open(partition.path, "r", encoding="utf-8") as f:
                 for line_no, line in enumerate(f):
+                    if line_no >= 1 << 32:
+                        # ingest_id packs (file_index << 32 | line_no);
+                        # past 2^32 lines the id would bleed into the
+                        # next file's space and break the total order —
+                        # fail loudly instead.
+                        raise ValueError(
+                            f"rime_jsonl: {partition.path} exceeds 2^32 "
+                            "lines; ingest_id ordering cannot be "
+                            "guaranteed (split the file)"
+                        )
                     line = line.rstrip("\n")
                     if not line.strip():
                         continue  # blank line skip (analyzer.go:64-66)
