@@ -15,9 +15,10 @@ Scale design:
 - q26 is a broadcast cross join: the query subset is tiny (0.1 % of
   vectors), so it broadcasts and the big side streams — no shuffle of
   the corpus; per-query top-k via window on the (small) scored set.
-- q25 is the composed bucketed pipeline: band keys from q27's
-  signatures → equi-join candidates → exact cosine verify. No
-  corpus×corpus join anywhere in the registered plan (pinned by a
+- q25 is the bucketed pipeline: a mapInPandas band stage (48-plane
+  sign-LSH → 12×4-bit band keys) → ONE shuffle on (band_id, band_key)
+  → vectorized within-bucket scoring in applyInPandas → cross-band
+  distinct. No pair join, no corpus×corpus anywhere (pinned by a
   plan-shape test); recall vs brute force pinned by a test floor.
 - q27's signature is 8 sign bits w.r.t. data-derived hyperplanes (the
   first 8 vectors) — deterministic, no RNG, oracle-replayable; vectors
@@ -69,8 +70,17 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_BANDS = 4  # 8 sign bits → 4 bands × 2 bits
-BAND_BITS = 2
+#: q25's banding (decoupled from q27's demo 8-bit signature): 48
+#: data-derived hyperplanes → 12 bands × 4 bits. Tuned empirically at
+#: sf0.01/sf0.1: recall vs brute force ≈ 0.85 at the weak 0.35
+#: threshold (the synthetic embeddings are near-random — max pairwise
+#: cosine ≈ 0.51 — so sign-bit agreement for a qualifying pair is only
+#: ≈ 0.62/bit; wider bands would crater recall, narrower ones stop
+#: pruning). On real near-dup corpora (threshold ≥ 0.8, clustered)
+#: the same shape prunes far harder.
+NEARDUP_BAND_BITS = 4
+NEARDUP_BANDS = 12
+NEARDUP_PLANES = NEARDUP_BAND_BITS * NEARDUP_BANDS  # 48
 
 
 def _signatures(v: DataFrame) -> DataFrame:
@@ -125,58 +135,119 @@ def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB form (judge r1 "what's wrong" #2 retired the all-pairs
     crossJoin from the registry).
 
-    Candidate generation: each vector's 8-bit signature splits into 4
-    bands of 2 bits; vectors agreeing on ANY band's (band_id, band_sig)
-    key become candidates — an equi-join on band keys, O(docs × bands)
-    rows and O(bucket²) pairs per bucket, never O(corpus²). Verify:
-    exact cosine on the candidates only (verify-after-block, the q22/
-    q24 shape). Banding trades recall for scale; the measured recall
-    vs the brute-force oracle is pinned by a test floor.
+    Shape: two Arrow-vectorized Python stages around one bucket
+    shuffle — NO pair join, NO cartesian anywhere:
+
+    1. ``mapInPandas`` band stage: 48 plane dots per vector (numpy
+       matmul; planes are the first 48 vectors, collected once —
+       48×64 doubles, a constant-size model parameter), emit
+       (band_id, band_key, vec_id, v) — ×12 band inflation, the same
+       linear posting-list materialization q22's MinHash uses.
+    2. ``applyInPandas`` per (band_id, band_key) bucket: all pairs
+       WITHIN the bucket, scored vectorized. Dots and norms fold
+       strictly left-to-right over the 64 dims (a k-loop over
+       columns, not ``np.dot``) so every emitted value is bit-equal
+       to the DuckDB oracle's sequential fold — pairs ≥ threshold
+       only, so the post-filter output (~matches, not candidates)
+       is what hits the final dedup shuffle.
+    3. ``distinct()`` across bands (a pair can collide in several).
+
+    O(Σ bucket²) work, O(n × bands) shuffled rows, never O(corpus²);
+    skewed buckets are AQE's problem (same as any groupBy). Recall vs
+    the brute-force oracle is pinned by a test floor (≥0.75; measured
+    ≈0.85 at sf0.01 with the 12×4 banding — see the constants note).
     """
     v = _vecs(spark, sf_dir)
-    sig = _signatures(v)
-    bands = sig.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[
-                F.shiftright(F.col("sig"), b * BAND_BITS)
-                .bitwiseAND((1 << BAND_BITS) - 1)
-                for b in range(N_BANDS)
-            ])
-        ).alias("band_id", "band_sig"),
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            [
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_sig") == F.col("b.band_sig"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
+    planes = [
+        list(r["v"])
+        for r in v.where(F.col("vec_id") < NEARDUP_PLANES)
+        .orderBy("vec_id")
+        .select("v")
+        .collect()
+    ]
+    bits, bands = NEARDUP_BAND_BITS, NEARDUP_BANDS
+    thresh = NEARDUP_THRESHOLD
+
+    def band_stage(pdf_iter):
+        # Closure — pickled by value (multimodal.py rule).
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64).T  # (d, 48)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["v"].map(np.asarray)).astype(np.float64)
+            # Sign of the dot is summation-order-robust (a dot at
+            # exactly 0.0 has measure zero), so matmul is safe here;
+            # emitted VALUES below use the strict fold.
+            sign = (M @ P > 0).astype(np.int64)  # (m, 48)
+            out = []
+            for b in range(bands):
+                key = sign[:, b * bits : (b + 1) * bits] @ weights
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "band_id": np.full(len(M), b, dtype=np.int64),
+                            "band_key": key,
+                            "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                            "v": pdf["v"],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    def score_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        M = np.stack(pdf["v"].map(np.asarray)).astype(np.float64)
+        d = M.shape[1]
+        # Strict left-to-right folds — bit-equal to the oracle's
+        # sequential list sum (vectorized across pairs, ordered in k).
+        nrm2 = np.zeros(m)
+        for k in range(d):
+            nrm2 += M[:, k] * M[:, k]
+        nrm = np.sqrt(nrm2)
+        ia, ib = np.triu_indices(m, 1)
+        dot = np.zeros(len(ia))
+        for k in range(d):
+            dot += M[ia, k] * M[ib, k]
+        cos = np.round(dot / (nrm[ia] * nrm[ib]), 9)
+        keep = cos >= thresh
+        if not keep.any():
+            return empty
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": cos[keep],
+            }
+        )
+
+    banded = v.select("vec_id", "v").mapInPandas(
+        band_stage,
+        schema="band_id int, band_key bigint, vec_id bigint, v array<double>",
+    )
+    return (
+        banded.groupBy("band_id", "band_key")
+        .applyInPandas(
+            score_bucket, schema="id_a bigint, id_b bigint, cosine double"
         )
         .distinct()  # a pair can collide in several bands
-    )
-    score_a = v.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        _norm("v").alias("na"),
-    )
-    score_b = v.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        _norm("v").alias("nb"),
-    )
-    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(score_a, "id_a")
-        .join(score_b, "id_b")
-        .withColumn("cosine", F.round(cos, 9))
-        .where(F.col("cosine") >= NEARDUP_THRESHOLD)
-        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -286,7 +357,8 @@ ORACLE = {
           SELECT vec_id, {_V} AS v, {_NORM_DUCK.format(a=_V)} AS nrm
           FROM embeddings
         ), planes AS (
-          SELECT vec_id AS p_id, v AS vp FROM v WHERE vec_id < {N_PLANES}
+          SELECT vec_id AS p_id, v AS vp
+          FROM v WHERE vec_id < {NEARDUP_PLANES}
         ), bits AS (
           SELECT v.vec_id,
                  CASE WHEN {_DOT_DUCK.format(a="v.v", b="p.vp")} > 0
@@ -295,14 +367,16 @@ ORACLE = {
           FROM v, planes p
         ), sig AS (
           SELECT vec_id,
-                 CAST(SUM(bit * CAST(pow(2.0, p_id) AS BIGINT)) AS INT) AS sig
+                 CAST(SUM(bit * CAST(pow(2.0, p_id) AS BIGINT)) AS BIGINT)
+                   AS sig
           FROM bits GROUP BY vec_id
         ), bands AS (
           SELECT vec_id, band_id,
-                 (sig >> (band_id * {BAND_BITS})) & {(1 << BAND_BITS) - 1}
-                   AS band_sig
+                 (sig >> (band_id * {NEARDUP_BAND_BITS}))
+                   & {(1 << NEARDUP_BAND_BITS) - 1} AS band_sig
           FROM sig,
-               (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_id)
+               (SELECT unnest(generate_series(0, {NEARDUP_BANDS - 1}))
+                  AS band_id)
         ), cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM bands a

@@ -337,8 +337,8 @@ def test_q25_banded_no_corpus_cartesian(spark, sf_dir):
 
 def test_q25_banded_recall_floor(spark, sf_dir):
     """Banding trades recall for scale; pin the trade: ≥ 0.75 of the
-    brute-force pairs survive at sf0.01 (measured 0.878 with 4 bands ×
-    2 bits). Fails loudly if the banding or signature scheme regresses."""
+    brute-force pairs survive at sf0.01 (measured 0.852 with 12 bands ×
+    4 bits). Fails loudly if the banding or signature scheme regresses."""
     from rime_wanxiang_logger_spark.operators.similarity import (
         embedding_neardup_bruteforce,
         q25_embedding_neardup,
