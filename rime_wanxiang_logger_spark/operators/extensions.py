@@ -14,8 +14,13 @@ q35_asof_join         as-of join of two event sub-streams (purchase ←
                       cross product.
 q36_range_join        non-equi (range-bucket) join: orders banded into
                       price ranges by a broadcast dimension.
-q37_percentiles       exact interpolated percentiles per group
-                      (sort-based — deterministic, unlike float sums).
+q37_percentiles       exact interpolated percentiles per group via
+                      DISTRIBUTED rank selection: range-partition on
+                      (group, value), offset-composed in-group ranks,
+                      pick-and-interpolate — never the single agg
+                      buffer holding a whole group's values that
+                      `percentile()` builds (OOM at 100× on a
+                      3-cardinality group key).
 q38_cube              CUBE grouping sets over orders.
 q39_pivot             day × event_type pivot (fixed column vocabulary,
                       so the schema is static — required both for the
@@ -148,16 +153,229 @@ def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (sort-based → deterministic
-    across engines; round only against last-ulp interpolation noise)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pct = lambda c, p: F.round(F.expr(f"percentile({c}, {p})"), 6)  # noqa: E731
-    return li.groupBy("l_returnflag").agg(
-        pct("l_quantity", 0.5).alias("p50_qty"),
-        pct("l_quantity", 0.9).alias("p90_qty"),
-        pct("l_extendedprice", 0.95).alias("p95_price"),
+#: Sub-buckets per octave for the percentile histogram (relative bucket
+#: width 2^(1/64) ≈ 1.1%); offset keeps positive/zero/negative bucket
+#: ids disjoint and ordered (|floor(log2|v|·64)| ≤ 1074·64 < 10^5 for
+#: any double, subnormals included).
+OCTAVE_STEPS = 64
+PCT_BUCKET_OFFSET = 100_000
+
+
+def _exact_group_percentiles(
+    df: DataFrame,
+    grp: str,
+    specs: list[tuple[str, float, str]],
+) -> DataFrame:
+    """Distributed EXACT interpolated percentiles (type-7, DuckDB
+    ``quantile_cont`` semantics) per ``grp`` — the 100 TB formulation.
+    ``specs`` = [(value_col, percentile, out_name), ...]; ALL value
+    columns and percentiles ride the same passes.
+
+    Spark's ``percentile()`` aggregate buffers EVERY value of a group
+    in one ObjectHashAggregate buffer; with a low-cardinality group key
+    that buffer is fact-scale (33 TB per group at 100 TB) — the classic
+    silent OOM. Here: histogram refinement, fully deterministic (no
+    repartitionByRange — its boundary SAMPLING differs between plan
+    branches, which corrupts any rank scheme built on partition ids):
+
+    1. sub-octave log-bucket histogram (data-independent monotone
+       quantization — no min/max pre-pass; map-side combined; one row
+       per OCCUPIED bucket, checkpointed) + cumsum over the tiny
+       histogram → each target rank r ∈ {floor,ceil((n−1)·p)+1}
+       locates its bucket and in-bucket offset;
+    2. revisit ONLY the located buckets (left-semi on a broadcast
+       bucket list; each holds the values inside one ≈1.1%-wide
+       relative range), ``row_number`` within (column, group, bucket),
+       pick the offset-th value, then interpolate
+       ``v_lo + (v_hi − v_lo)·frac`` (rounded at 6).
+
+    Exactly TWO fact-scale passes, both embarrassingly parallel; the
+    only windows partition on (column, group, bucket). A pathological
+    pile-up of distinct values into one ≈1.1% relative range would
+    need one more refinement level (re-bucket the hot bucket);
+    equal-value pile-ups need nothing — ties are interchangeable for
+    selection.
+    """
+    vcols = list(dict.fromkeys(v for v, _, _ in specs))
+    melted = df.select(
+        grp,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(v).alias("_vcol"),
+                    F.col(v).cast("double").alias("_val"),
+                )
+                for v in vcols
+            ])
+        ).alias("_m"),
+    ).select(
+        grp, F.col("_m._vcol").alias("_vcol"), F.col("_m._val").alias("_val")
     )
+
+    sgrp = F.col(grp)
+    # Data-INDEPENDENT monotone quantization: sub-octave log buckets
+    # (relative width 2^(1/OCTAVE_STEPS) ≈ 1.1%), sign-split so the
+    # bucket id is strictly monotone in the value over negatives, zero
+    # and positives. No min/max pre-pass, no sampling — the same
+    # expression re-evaluates identically in every plan branch, and
+    # only OCCUPIED buckets materialize in the histogram.
+    v_ = F.col("_val")
+    bucket = (
+        F.when(
+            v_ > 0,
+            F.lit(PCT_BUCKET_OFFSET)
+            + F.floor(F.log2(v_) * OCTAVE_STEPS).cast("bigint"),
+        )
+        .when(
+            v_ < 0,
+            F.lit(-PCT_BUCKET_OFFSET)
+            - F.floor(F.log2(-v_) * OCTAVE_STEPS).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+
+    # Pass 1 — bucket histogram (map-side combined; one row per
+    # occupied (column, group, bucket)). Checkpointed: consumed by the
+    # cumsum, the target locator, and (as group totals) the targets.
+    hist = (
+        melted.withColumn("_b", bucket)
+        .groupBy("_vcol", grp, "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint()
+    )
+    wb = (
+        W.partitionBy("_vcol", grp)
+        .orderBy("_b")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(wb)).withColumn(
+        "_cumprev", F.col("_cum") - F.col("_cnt")
+    )
+
+    # Target ranks: one row per (spec, lo|hi). 1-based rank r within
+    # the (column, group); k = (n−1)·p, type-7 interpolation.
+    per_spec = [
+        F.struct(
+            F.lit(v).alias("_svcol"),
+            F.lit(name).alias("_pname"),
+            F.lit(p).alias("_p"),
+        )
+        for v, p, name in specs
+    ]
+    k = F.col("_t._p") * (F.col("_n") - 1)
+    stats = hist.groupBy("_vcol", grp).agg(F.sum("_cnt").alias("_n"))
+    tgt = (
+        stats.select(
+            F.col("_vcol").alias("_tvcol"),
+            sgrp.alias("_tgrp"),
+            "_n",
+            F.explode(F.array(*per_spec)).alias("_t"),
+        )
+        .where(F.col("_t._svcol") == F.col("_tvcol"))
+        .select(
+            "_tvcol",
+            "_tgrp",
+            F.col("_t._pname").alias("_pname"),
+            (k - F.floor(k)).alias("_frac"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("_which"),
+                        (F.floor(k).cast("bigint") + 1).alias("_r"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("_which"),
+                        (F.ceil(k).cast("bigint") + 1).alias("_r"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select(
+            "_tvcol", "_tgrp", "_pname", "_frac",
+            F.col("_w._which").alias("_which"),
+            F.col("_w._r").alias("_r"),
+        )
+    )
+    # Locate each target rank's bucket + offset within it (tiny join).
+    located = tgt.join(
+        cum,
+        (F.col("_tvcol") == F.col("_vcol"))
+        & (F.col("_tgrp") == sgrp)
+        & (F.col("_cumprev") < F.col("_r"))
+        & (F.col("_r") <= F.col("_cum")),
+    ).select(
+        "_tvcol", "_tgrp", "_pname", "_frac", "_which",
+        F.col("_b").alias("_tb"),
+        (F.col("_r") - F.col("_cumprev")).alias("_inoff"),
+    )
+
+    # Pass 2 — revisit ONLY the target buckets (expected n/PCT_BUCKETS
+    # rows each), rank within the bucket, pick the _inoff-th value.
+    # The in-bucket window partitions on (column, group, bucket) — a
+    # key whose cardinality grows with PCT_BUCKETS; a pathological
+    # single-bucket pile-up means near-equal values, where one more
+    # refinement level would apply (documented, not needed here).
+    slim = located.select("_tvcol", "_tgrp", "_tb").distinct()
+    in_bucket = (
+        melted.withColumn("_b", bucket)
+        .join(
+            F.broadcast(slim),
+            (F.col("_tvcol") == F.col("_vcol"))
+            & (F.col("_tgrp") == sgrp)
+            & (F.col("_tb") == F.col("_b")),
+            "left_semi",
+        )
+    )
+    ranked = in_bucket.withColumn(
+        "_brk",
+        F.row_number().over(
+            W.partitionBy("_vcol", grp, "_b").orderBy("_val")
+        ),
+    )
+    picked = ranked.join(
+        F.broadcast(located),
+        (F.col("_tvcol") == F.col("_vcol"))
+        & (F.col("_tgrp") == sgrp)
+        & (F.col("_tb") == F.col("_b"))
+        & (F.col("_inoff") == F.col("_brk")),
+    )
+    per = (
+        picked.groupBy("_tgrp", "_pname", "_frac")
+        .agg(
+            F.min(F.when(F.col("_which") == "lo", F.col("_val"))).alias(
+                "_vlo"
+            ),
+            F.min(F.when(F.col("_which") == "hi", F.col("_val"))).alias(
+                "_vhi"
+            ),
+        )
+        .withColumn(
+            "_v",
+            F.col("_vlo") + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac"),
+        )
+    )
+    return per.groupBy(F.col("_tgrp").alias(grp)).agg(*[
+        F.round(
+            F.min(F.when(F.col("_pname") == name, F.col("_v"))), 6
+        ).alias(name)
+        for _, _, name in specs
+    ])
+
+
+def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles, distributed (see
+    :func:`_exact_group_percentiles`): both value columns and all three
+    percentiles ride ONE melted rank pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _exact_group_percentiles(
+        li,
+        "l_returnflag",
+        [
+            ("l_quantity", 0.5, "p50_qty"),
+            ("l_quantity", 0.9, "p90_qty"),
+            ("l_extendedprice", 0.95, "p95_price"),
+        ],
+    ).select("l_returnflag", "p50_qty", "p90_qty", "p95_price")
 
 
 def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
