@@ -121,6 +121,17 @@ def global_cumsum(
     the data pass, once for the totals) — the standard cost of a
     distributed global rank; a 100 TB deployment would cache/checkpoint
     the input if it is itself expensive.
+
+    CORRECTNESS CAVEAT (learned the hard way in q37's first rewrite):
+    the data branch and the totals branch must read the SAME
+    materialized range exchange — guaranteed here because both sit in
+    one physical plan and Spark dedups identical exchanges
+    (spark.sql.exchange.reuse, on by default; AQE coalescing then
+    applies once to the shared stage). NEVER checkpoint/persist one
+    branch but not the other: separate jobs can coalesce the range
+    shuffle differently, reassigning ``spark_partition_id`` and
+    silently corrupting every rank. If you need a frozen intermediate,
+    checkpoint the INPUT ``df`` before calling this.
     """
     spark = df.sparkSession
     npart = int(

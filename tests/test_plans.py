@@ -395,3 +395,32 @@ def test_q69_pmi_no_extra_explode(spark, sf_dir):
     # final plan; one text scan + the count-only n_docs scan
     assert op_count(df, "Generate") == 1, plan
     assert len(read_schema_columns(df)) <= 2, plan
+
+
+def test_global_row_number_is_exact_permutation(spark):
+    """global_cumsum's data and totals branches must see consistent
+    partition assignment (see the docstring caveat about exchange
+    reuse) — verified behaviorally: on a shuffled 10k-row input the
+    emitted ranks are EXACTLY the driver-side sort positions 1..n.
+    Any cross-branch partition-id divergence breaks this within one
+    partition's width, so the equality is a sharp detector."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.windows import (
+        global_row_number,
+    )
+
+    n = 10_000
+    df = spark.range(n, numPartitions=16).select(
+        # decorrelate value from id so input order != output order
+        ((F.col("id") * 48271) % 99991).alias("k"),
+        F.col("id").alias("tie"),
+    )
+    out = global_row_number(df, [F.asc("k"), F.asc("tie")], out_col="rn")
+    rows = out.collect()
+    assert len(rows) == n
+    got = [(r["k"], r["tie"]) for r in sorted(rows, key=lambda r: r["rn"])]
+    assert [r["rn"] for r in sorted(rows, key=lambda r: r["rn"])] == list(
+        range(1, n + 1)
+    )
+    assert got == sorted(got)
