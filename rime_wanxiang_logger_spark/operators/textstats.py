@@ -296,6 +296,80 @@ def q69_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 parameters (Okapi defaults) and the fixed query-term set the
+#: registered ranking query scores against.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "vector", "stream")
+BM25_TOPK = 20
+
+
+def q71_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed query-term set
+    — the retrieval-scoring stage of a text pipeline (quality filtering
+    by topicality, hard-negative mining, retrieval evals).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (Lucene's robust idf)
+
+    Scale design: per-term tf via ``F.filter`` count on the token
+    array — NO explode, the whole per-doc row stays in one codegen
+    stage; corpus stats (N, Σdl, per-term df) are ONE tiny aggregate
+    broadcast back; final ranking is TakeOrdered(k) (sort-free global
+    top-k), never a global window. Two corpus scans total (stats,
+    score). Term sum is written a+b+c left-to-right and rounded at 9
+    so the DuckDB oracle hash-matches (ln agrees across engines at
+    this precision — same contract as q68)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dl = F.size(toks)
+
+    def tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        dl.alias("dl"),
+        *[tf(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl
+    )
+
+    def part(t: str):
+        tf_c = F.col(f"tf_{t}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        return idf * (tf_c * F.lit(BM25_K1 + 1) / (tf_c + norm))
+
+    score = part(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + part(t)  # fixed left-to-right sum order
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in BM25_TERMS],
+            F.round(score, 9).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
 QUERIES = {
     "q28_lang_id": q28_lang_id,
     "q29_text_quality": q29_text_quality,
@@ -304,6 +378,7 @@ QUERIES = {
     "q64_chunk_windows": q64_chunk_windows,
     "q68_tfidf": q68_tfidf,
     "q69_bigram_pmi": q69_bigram_pmi,
+    "q71_bm25": q71_bm25,
 }
 
 
@@ -433,4 +508,37 @@ ORACLE = {
         JOIN cx b ON b.term = w2
         CROSS JOIN totals
     """,
+    # BM25: identical arithmetic shape and evaluation order as the
+    # Spark expression (python-folded constants, a+b+c term order,
+    # round 9 absorbing last-ulp ln differences).
+    "q71_bm25": (lambda _tf, _part: f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS INT) AS dl,
+                 {", ".join(f"CAST({_tf(t)} AS INT) AS tf_{t}" for t in BM25_TERMS)}
+          FROM documents
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                 {", ".join(f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in BM25_TERMS)}
+          FROM base
+        )
+        SELECT doc_id, dl,
+               {", ".join(f"tf_{t}" for t in BM25_TERMS)},
+               round({" + ".join(_part(t) for t in BM25_TERMS)}, 9) AS bm25
+        FROM base, stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """)(
+        lambda t: (
+            f"len(list_filter(string_split(text, ' '), w -> w = '{t}'))"
+        ),
+        lambda t: (
+            f"(ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+            f" * (CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1}"
+            f" / (CAST(tf_{t} AS DOUBLE)"
+            f" + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl"
+            f" / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+        ),
+    ),
 }
