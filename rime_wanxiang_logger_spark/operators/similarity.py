@@ -251,6 +251,41 @@ def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: q25's banded near-dup pairs →
+    connected components → canonical survivor (min vec_id) → cluster
+    rollup with the canonical vector's label — the embedding-space twin
+    of q53 (which runs the same closure over MinHash text pairs). A
+    pipeline keeps rows where vec_id == cluster_id and drops the rest.
+
+    Scale notes: the pair graph is checkpointed before the iterative
+    closure (every CC round re-reads the edge set; without the pin each
+    round would re-run both Python stages of q25). The per-cluster
+    rollup is tiny and BROADCAST back onto the corpus-side metadata
+    join — the corpus never shuffles.
+    """
+    from .pipeline import connected_components
+
+    pairs = (
+        q25_embedding_neardup(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    labels = connected_components(pairs)
+    sizes = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("label").alias("cluster_id"), "n_members")
+    )
+    emb = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("label").alias("canonical_label"),
+    )
+    return emb.join(F.broadcast(sizes), "cluster_id").select(
+        "cluster_id", "n_members", "canonical_label"
+    )
+
+
 def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for the strided query subset; query side
     broadcast, corpus side streamed."""
@@ -342,6 +377,7 @@ QUERIES = {
     "q26_ann_topk": q26_ann_topk,
     "q27_ann_lsh": q27_ann_lsh,
     "q66_embedding_quantize": q66_embedding_quantize,
+    "q72_semantic_dedup": q72_semantic_dedup,
 }
 
 _DOT_DUCK = (
@@ -351,9 +387,11 @@ _NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
 _V = "CAST(embedding AS DOUBLE[])"
 
-ORACLE = {
-    "q25_embedding_neardup": f"""
-        WITH v AS (
+# q25's banded pipeline as a reusable CTE chain ending in `neardup`
+# (id_a, id_b, cosine) — shared by the q25 oracle and q72's recursive
+# component closure (same pattern as dedup._CAND_CTE).
+_NEARDUP_CTE = f"""
+        v AS (
           SELECT vec_id, {_V} AS v, {_NORM_DUCK.format(a=_V)} AS nrm
           FROM embeddings
         ), planes AS (
@@ -383,15 +421,46 @@ ORACLE = {
           JOIN bands b ON a.band_id = b.band_id
                       AND a.band_sig = b.band_sig
                       AND a.vec_id < b.vec_id
+        ), neardup AS (
+          SELECT c.id_a, c.id_b,
+                 round({_DOT_DUCK.format(a="a.v", b="b.v")}
+                       / (a.nrm * b.nrm), 9) AS cosine
+          FROM cand c
+          JOIN v a ON a.vec_id = c.id_a
+          JOIN v b ON b.vec_id = c.id_b
+          WHERE round({_DOT_DUCK.format(a="a.v", b="b.v")}
+                      / (a.nrm * b.nrm), 9)
+                >= CAST({NEARDUP_THRESHOLD} AS DOUBLE)
         )
-        SELECT c.id_a, c.id_b,
-               round({_DOT_DUCK.format(a="a.v", b="b.v")} / (a.nrm * b.nrm), 9)
-                 AS cosine
-        FROM cand c
-        JOIN v a ON a.vec_id = c.id_a
-        JOIN v b ON b.vec_id = c.id_b
-        WHERE round({_DOT_DUCK.format(a="a.v", b="b.v")} / (a.nrm * b.nrm), 9)
-              >= CAST({NEARDUP_THRESHOLD} AS DOUBLE)
+"""
+
+ORACLE = {
+    "q25_embedding_neardup": f"""
+        WITH {_NEARDUP_CTE}
+        SELECT id_a, id_b, cosine FROM neardup
+    """,
+    "q72_semantic_dedup": f"""
+        WITH RECURSIVE {_NEARDUP_CTE},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM neardup
+          UNION
+          SELECT id_b, id_a FROM neardup
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+          SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS n_members
+          FROM comp GROUP BY cluster_id
+        )
+        SELECT s.cluster_id, s.n_members, e.label AS canonical_label
+        FROM sizes s JOIN embeddings e ON e.vec_id = s.cluster_id
     """,
     "q26_ann_topk": f"""
         WITH v AS (
