@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.readers import load_table
+from .pipeline import _h32
 from .textstats import STOPWORDS, _in_list, _sql_in_list
 
 SAMPLE_K = 20
@@ -170,11 +171,121 @@ def q60_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q73: per-source mixture weights in basis points — derived from the
+#: source name so both engines compute them from data (no config file):
+#: sources cycle through keep rates 25/50/75/100%.
+MIX_BP_DENOM = 10_000
+
+#: q74: training context window (tokens) and the shard width that
+#: bounds any single packing window's span (packing restarts per
+#: (source, shard) — semantically free for training, and it keeps the
+#: ordered window keyed by a cardinality that GROWS with the corpus
+#: instead of the fixed source vocabulary).
+PACK_CTX_TOKENS = 512  # power of two: start_offset/512 is float-exact
+PACK_SHARD_DOCS = 100_000
+
+
+def q73_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing — the up/down-sampling
+    stage that rebalances corpus composition before training (e.g.
+    downsample crawl, keep wiki): every doc draws a content-stable
+    Bernoulli via the md5 idiom (salted 'mix:' so it decorrelates from
+    q56's split hash) against its source's keep rate. Re-runs pick the
+    SAME docs — no RNG, no seed drift. Output: the per-source audit
+    (target vs realized rate).
+
+    One scan, one map-side-combined aggregate; the hash is a
+    projection, never a shuffle key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", "([0-9]+)", 1).cast("bigint")
+    w_bp = ((srcnum % 4) + 1) * (MIX_BP_DENOM // 4)
+    h = (
+        F.expr(_h32("concat('mix:', CAST(doc_id AS STRING))", "instr"))
+        % MIX_BP_DENOM
+    )
+    base = docs.select(
+        "source",
+        w_bp.alias("w_bp"),
+        (h < w_bp).alias("keep"),
+    )
+    return (
+        base.groupBy("source", "w_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("w_bp") / MIX_BP_DENOM, 4).alias("target_rate"),
+            F.round(F.col("n_kept") / F.col("n_docs"), 9).alias("kept_rate"),
+        )
+    )
+
+
+def q74_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing — the sample-packing stage
+    that fills fixed training context windows (≤ CTX tokens) with
+    consecutive documents, per (source, shard): each doc lands in the
+    pack its START offset falls into (boundary docs span into the next
+    pack, the standard concat-then-chunk packing). Output: per-pack
+    fill audit.
+
+    One window (running token sum) over (source, shard) — shard =
+    doc_id div PACK_SHARD_DOCS, so the partition key's cardinality
+    grows with the corpus and no window ever spans more than
+    PACK_SHARD_DOCS docs — then one aggregate. start_offset/512 is a
+    power-of-two division of a < 2^53 integer: float-exact in both
+    engines, so pack ids never flap on ulp noise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    shard = F.floor(F.col("doc_id") / PACK_SHARD_DOCS).cast("bigint")
+    w = (
+        W.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    base = (
+        docs.select(
+            "source", "doc_id", shard.alias("shard"), ntok.alias("n_tok")
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.col("cum") - F.col("n_tok")) / PACK_CTX_TOKENS
+            ).cast("bigint"),
+        )
+    )
+    return (
+        base.groupBy("source", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+        .select(
+            "source",
+            "shard",
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            F.round(F.col("pack_tokens") / PACK_CTX_TOKENS, 9).alias(
+                "fill_rate"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q57_stratified_sample": q57_stratified_sample,
     "q58_curation_funnel": q58_curation_funnel,
     "q59_latest_by_key": q59_latest_by_key,
     "q60_session_funnel": q60_session_funnel,
+    "q73_source_mix": q73_source_mix,
+    "q74_pack_sequences": q74_pack_sequences,
 }
 
 _Q_SQL = (
@@ -260,5 +371,44 @@ ORACLE = {
                CAST(SUM(CASE WHEN reached_purchase THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_purchase_after_click
         FROM per_user
+    """,
+    "q73_source_mix": f"""
+        WITH base AS (
+          SELECT source,
+                 ((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4)
+                  + 1) * {MIX_BP_DENOM // 4} AS w_bp,
+                 ({_h32("concat('mix:', CAST(doc_id AS VARCHAR))", "strpos")})
+                   % {MIX_BP_DENOM} AS h
+          FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE h < w_bp) AS n_kept,
+               round(w_bp / {MIX_BP_DENOM}, 4) AS target_rate,
+               round((COUNT(*) FILTER (WHERE h < w_bp)) / COUNT(*), 9)
+                 AS kept_rate
+        FROM base GROUP BY source, w_bp
+    """,
+    "q74_pack_sequences": f"""
+        WITH base AS (
+          SELECT source, doc_id,
+                 CAST(floor(doc_id / {PACK_SHARD_DOCS}) AS BIGINT) AS shard,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+          FROM documents
+        ), packed AS (
+          SELECT *,
+                 CAST(SUM(n_tok) OVER (PARTITION BY source, shard
+                                       ORDER BY doc_id) AS BIGINT) AS cum
+          FROM base
+        )
+        SELECT source, shard,
+               CAST(floor((cum - n_tok) / {PACK_CTX_TOKENS}) AS BIGINT)
+                 AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+               round(CAST(SUM(n_tok) AS BIGINT) / {PACK_CTX_TOKENS}, 9)
+                 AS fill_rate
+        FROM packed
+        GROUP BY source, shard, CAST(floor((cum - n_tok) / {PACK_CTX_TOKENS}) AS BIGINT)
     """,
 }
