@@ -67,6 +67,12 @@ try:  # pragma: no cover
     _MODULES.append(timeseries)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import quality
+
+    _MODULES.append(quality)
+except ImportError:
+    pass
 
 
 # Round-1 driver CORRECTNESS verified exactly the first 50 registry
