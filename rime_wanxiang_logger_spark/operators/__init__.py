@@ -73,6 +73,18 @@ try:  # pragma: no cover
     _MODULES.append(quality)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import mining
+
+    _MODULES.append(mining)
+except ImportError:
+    pass
+try:  # pragma: no cover
+    from . import maintenance
+
+    _MODULES.append(maintenance)
+except ImportError:
+    pass
 
 
 # Round-1 driver CORRECTNESS verified exactly the first 50 registry

@@ -1,0 +1,168 @@
+"""Table-maintenance plane: the profiling and change-apply operators a
+lakehouse engine runs BETWEEN analytical queries (no reference twin —
+the reference has no table-management surface; SURVEY §2.11b scale
+extensions).
+
+q81_profile_stats  one-scan column profiling of the fact table (row
+                   count, null count, exact distinct count, numeric
+                   min/max per column) — the ANALYZE TABLE statistics
+                   pass that feeds optimizer estimates and data-quality
+                   dashboards
+q82_cdc_merge      CDC MERGE/upsert apply: fold a change stream onto a
+                   keyed snapshot with latest-wins update semantics and
+                   delete tombstones — the Delta/Iceberg MERGE INTO
+                   shape expressed as one aggregate
+
+Design for 100 TB:
+- q81 is ONE scan + ONE aggregate row, unpivoted JVM-side with
+  ``stack``: all 7 columns' stats (incl. 7 exact COUNT(DISTINCT)s via
+  Catalyst's Expand — ×8 row amplification absorbed map-side) in a
+  single pass. At 100 TB swap the exact distincts for
+  ``approx_count_distinct`` (the q45 sketch gate shows the accuracy
+  trade) — same plan, Expand drops out entirely.
+- q82 never windows and never joins: "latest row per key per era" is
+  MAX over an ORDERABLE STRUCT with the ordering columns (ts,
+  event_id) leading — a plain hash aggregate with map-side partial
+  merge (each mapper keeps one candidate struct per key — contrast
+  q59's window formulation, which must shuffle every row of the key).
+  One shuffle on user_id, then a projection applies the merge rules:
+  change-era tombstone (event_type = 'error') deletes the key, other
+  change rows upsert, keys with no change row pass through. At
+  100 TB the snapshot side is a bucketed table and the change stream
+  is the small side of the same aggregate — or the same expression
+  runs incrementally inside foreachBatch (streaming/sinks.py).
+
+Determinism: emitted doubles are stored values (no arithmetic); the
+struct comparator is made total by the unique (ts, event_id) prefix,
+so MAX is unambiguous in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import load_table
+
+#: q81 profiled columns (the numeric + key surface of lineitem).
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+
+#: q82 era boundary: events before are the base snapshot, events at or
+#: after are the change stream (span of the synthetic log: Jan 1-31).
+CDC_CUTOFF = "2024-01-24 00:00:00"
+#: change-stream tombstone marker.
+CDC_DELETE_TYPE = "error"
+
+
+def q81_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem: (col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val) — one row per profiled column, one
+    scan over the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    )
+
+
+def q82_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the change era onto the base-era snapshot, latest-wins:
+    per user, the newest pre-cutoff event is the base row and the
+    newest post-cutoff event is the change; a change of type
+    CDC_DELETE_TYPE deletes the key, any other change upserts. Output:
+    the merged snapshot (user_id, value, last_ts, src) where src tags
+    each row kept / updated / inserted."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    # Ordering columns lead the struct so MAX == latest (ts, event_id).
+    base_s = F.when(
+        F.col("ts") < cutoff, F.struct("ts", "event_id", "value")
+    )
+    chg_s = F.when(
+        F.col("ts") >= cutoff,
+        F.struct("ts", "event_id", "value", "event_type"),
+    )
+    merged = ev.groupBy("user_id").agg(
+        F.max(base_s).alias("base"), F.max(chg_s).alias("chg")
+    )
+    return (
+        merged.where(
+            F.col("chg").isNull()
+            | (F.col("chg.event_type") != CDC_DELETE_TYPE)
+        )
+        .select(
+            "user_id",
+            F.coalesce("chg.value", "base.value").alias("value"),
+            F.coalesce("chg.ts", "base.ts").alias("last_ts"),
+            F.when(F.col("chg").isNull(), "kept")
+            .when(F.col("base").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("src"),
+        )
+    )
+
+
+def _profile_select(c: str) -> str:
+    return f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_val,
+               CAST(MAX({c}) AS DOUBLE) AS max_val
+        FROM lineitem"""
+
+
+QUERIES = {
+    "q81_profile_stats": q81_profile_stats,
+    "q82_cdc_merge": q82_cdc_merge,
+}
+
+ORACLE = {
+    "q81_profile_stats": " UNION ALL ".join(
+        _profile_select(c) for c in PROFILE_COLS
+    ),
+    "q82_cdc_merge": f"""
+        WITH m AS (
+          SELECT user_id,
+            MAX(CASE WHEN ts < TIMESTAMP '{CDC_CUTOFF}'
+                THEN struct_pack(ts := CAST(ts AS TIMESTAMP),
+                                 id := event_id, v := value) END) AS base,
+            MAX(CASE WHEN ts >= TIMESTAMP '{CDC_CUTOFF}'
+                THEN struct_pack(ts := CAST(ts AS TIMESTAMP),
+                                 id := event_id, v := value,
+                                 et := event_type) END) AS chg
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               COALESCE(chg.v, base.v) AS value,
+               COALESCE(chg.ts, base.ts) AS last_ts,
+               CASE WHEN chg IS NULL THEN 'kept'
+                    WHEN base IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS src
+        FROM m
+        WHERE chg IS NULL OR chg.et <> '{CDC_DELETE_TYPE}'
+    """,
+}
