@@ -334,7 +334,7 @@ ORACLE = {
           FROM documents
         )
         SELECT {_SPLIT_CASE} AS split, lang,
-               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM b GROUP BY 1, 2
     """,
     # One spec, two engines: the Spark side binds DataFrames into the

@@ -38,27 +38,46 @@ from ..schemas import RIME_EVENT_SCHEMA
 from ..sources.readers import load_table
 from ..operators.windows import SESSION_GAP_SECONDS
 
-EVENTS_STREAM_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+EVENTS_STREAM_SCHEMA = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+_EVENTS_STREAM_SCHEMA_NANOS = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table (parquet file source).
 
-    The schema is declared with ``ts bigint`` (nanos — file sources
-    need an explicit schema; the nanosAsLong shim applies) and
-    converted exactly as the batch reader does.
+    File sources need an explicit schema, and the events ``ts`` column
+    has shipped both as TIMESTAMP(MICROS) and as TIMESTAMP(NANOS)
+    (which Spark surfaces as a long under the nanosAsLong shim). Peek
+    at the on-disk dtype with a one-off batch scan — the same guard the
+    batch reader applies (sources/readers.py) — and declare the stream
+    schema to match, converting nanos→us only when the file really
+    stores nanos. Getting this wrong collapses every event to 1970 and
+    silently empties all watermarked windows.
     """
+    ts_is_long = (
+        dict(
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+            .dtypes
+        ).get("ts")
+        == "bigint"
+    )
+    schema = _EVENTS_STREAM_SCHEMA_NANOS if ts_is_long else EVENTS_STREAM_SCHEMA
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # file sources want a directory; select just the events table
         # (prefix glob so tests can stage extra events*_N.parquet files)
         .option("pathGlobFilter", "events*.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    if ts_is_long:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return raw
 
 
 def read_rime_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:

@@ -80,8 +80,10 @@ def test_session_window_parity(spark, tmp_path):
     q = st.run_stream_to_memory(
         st.session_window_stream(ev), "sessions", "append"
     )
+    import datetime as _dt
+
     flush = spark.createDataFrame(
-        [(10**9, 4102444800_000_000_000, -1, "flush", 0.0, "{}")],
+        [(10**9, _dt.datetime(2100, 1, 1), -1, "flush", 0.0, "{}")],
         st.EVENTS_STREAM_SCHEMA,
     )
     tmp_out = tmp_path / "flush_out"
@@ -176,10 +178,6 @@ def test_dedup_stream_parity(spark, tmp_path):
         spark.readStream.schema(st.twin.EVENTS_STREAM_SCHEMA)
         .format("parquet")
         .load(src)
-        .withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
     )
     q = st.run_stream_to_memory(st.dedup_stream(ev), "dedup_sink", "append")
     try:
