@@ -56,16 +56,51 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 4)
+    # The driver records only a ~2 KB TAIL of stdout: a single JSON
+    # line with 84 full-length query names (~2.4 KB) gets its head cut
+    # and becomes unparseable (BENCH_r02.json: parsed=null, q25/q50–q59
+    # and the total lost). Two measures:
+    #   1. stdout uses SHORT query keys ("q25"; full name only on
+    #      prefix collision) at 2 dp, queries first and the summary
+    #      fields last — ~950 bytes, whole line survives the tail
+    #      window and the total survives even pathological cuts.
+    #   2. the full-name, full-precision result is written to
+    #      bench_full.json next to this script (committed per round).
+    short: dict[str, float] = {}
+    for name, dt in timings.items():
+        key = name.split("_", 1)[0]
+        if key in short or any(
+            other != name and other.split("_", 1)[0] == key
+            for other in timings
+        ):
+            key = name  # prefix collision (q11_*): keep full name
+        short[key] = round(dt, 2)
+    full = {
+        "metric": "sum_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
     print(
         json.dumps(
             {
+                "queries": short,
                 "metric": "sum_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     spark.stop()
 

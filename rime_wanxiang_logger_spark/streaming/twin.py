@@ -126,10 +126,13 @@ def stateful_asof_stream(events: DataFrame) -> DataFrame:
     machine (lua:356-380, consumed at lua:215-277) keyed by user.
     State is one scalar per user; the timeout bounds it (T5).
 
-    NB: correctness matches batch q09 only when each user's events
-    arrive in order within a micro-batch (guaranteed in the test
-    harness which feeds one sorted batch; production would pair this
-    with a Kafka source partitioned by user).
+    Ordering: a key's rows may span several Arrow chunks within one
+    micro-batch, so ALL chunks are concatenated before the single
+    (ts, event_id) sort — per-chunk sorting would interleave carries
+    when a chunk boundary splits a user (multi-chunk parity test:
+    tests/test_streaming.py). ACROSS micro-batches order still follows
+    file arrival, as with any streaming source; production pairs this
+    with a source partitioned and ordered by key (Kafka).
     """
 
     def make_fn():
@@ -139,9 +142,12 @@ def stateful_asof_stream(events: DataFrame) -> DataFrame:
 
             last = state.get[0] if state.exists else None
             out = []
-            for pdf in pdfs:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                for row in pdf.itertuples(index=False):
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                whole = _pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"]
+                )
+                for row in whole.itertuples(index=False):
                     if row.event_type == "purchase":
                         out.append(
                             (row.event_id, key[0], row.value, last)
@@ -208,9 +214,14 @@ def stateful_page_rank_stream(events: DataFrame) -> DataFrame:
                     0, "", None, None, None,
                 )
             out = []
-            for pdf in pdfs:
-                pdf = pdf.sort_values("event_id")
-                for row in pdf.itertuples(index=False):
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            whole = (
+                _pd.concat(chunks, ignore_index=True).sort_values("event_id")
+                if chunks
+                else None
+            )
+            if whole is not None:
+                for row in whole.itertuples(index=False):
                     if row.event_type == "input_state_changed":
                         buf = row.input_buffer or ""
                         if buf != last_seen:  # reset BEFORE nav (lua:309)
@@ -294,12 +305,12 @@ def stateful_asof_tws(events: DataFrame) -> DataFrame:
     TTL support, and timer hooks — the API Spark is converging on for
     custom streaming state (applyInPandasWithState is the legacy twin).
 
-    NB (ordering): as with the legacy twin, each pandas chunk is sorted
-    independently — if one key's rows span multiple Arrow batches the
-    (ts, event_id) order is only per-chunk, so the prior_value carry
-    assumes the source delivers each key's rows in order within a
-    micro-batch (test harness: one sorted batch; production: a source
-    partitioned and ordered by key).
+    Ordering: as with the legacy twin, all of a key's Arrow chunks in
+    a micro-batch are concatenated before ONE (ts, event_id) sort, so
+    the prior_value carry is correct even when a chunk boundary splits
+    a key (the per-chunk-sort caveat this docstring used to carry is
+    closed; multi-chunk parity is tested on the legacy twin, which
+    shares the pattern — the TWS test itself needs protobuf).
 
     Requires the RocksDB state-store provider and the ``protobuf``
     package (the TWS state-server protocol is protobuf-framed; absent
@@ -325,9 +336,12 @@ def stateful_asof_tws(events: DataFrame) -> DataFrame:
                     self._last.get()[0] if self._last.exists() else None
                 )
                 out = []
-                for pdf in rows:
-                    pdf = pdf.sort_values(["ts", "event_id"])
-                    for row in pdf.itertuples(index=False):
+                chunks = [pdf for pdf in rows if len(pdf)]
+                if chunks:
+                    whole = _pd.concat(
+                        chunks, ignore_index=True
+                    ).sort_values(["ts", "event_id"])
+                    for row in whole.itertuples(index=False):
                         if row.event_type == "purchase":
                             out.append(
                                 (row.event_id, key[0], row.value, last)

@@ -402,6 +402,77 @@ def test_q25_recall_floor_sf01_with_splits(spark):
     assert len(banded & brute) / len(brute) >= 0.75
 
 
+def test_q79_pagerank_pins_candidate_stage(spark, sf_dir):
+    """Each power iteration must read the PINNED edge/degree sets —
+    never re-execute the MinHash candidate stage. The final plan
+    therefore contains no parquet scan at all (all inputs are
+    checkpointed RDDs) and no Generate (no re-explode of shingles)."""
+    from rime_wanxiang_logger_spark.operators.mining import q79_pagerank
+
+    df = q79_pagerank(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Scan parquet" not in plan, plan
+    assert op_count(df, "Generate") == 0, plan
+
+
+def test_q80_coverage_pins_grams(spark, sf_dir):
+    """Both consumers (dup-gram aggregate + coverage join) must read
+    the one pinned gram set — no second md5/explode pass over text."""
+    from rime_wanxiang_logger_spark.operators.mining import (
+        q80_dup_span_coverage,
+    )
+
+    df = q80_dup_span_coverage(spark, sf_dir)
+    plan = explain_str(df)
+    # exactly ONE Generate (the post-pin position expansion) — the
+    # md5 gram explode is behind the checkpoint, so a second Generate
+    # would mean the gram stage re-executed
+    assert op_count(df, "Generate") == 1, plan
+    # exactly ONE parquet scan (the token-count side); gram consumers
+    # read the pinned RDD
+    assert len(read_schema_columns(df)) == 1, plan
+    rows = df.collect()
+    assert all(0.0 <= r["dup_frac"] <= 1.0 for r in rows if r["n_tokens"])
+
+
+def test_q81_profile_single_scan(spark, sf_dir):
+    """ANALYZE-style profile: ONE lineitem scan, one aggregate with
+    the countDistinct Expand — never a per-column scan."""
+    from rime_wanxiang_logger_spark.operators.maintenance import (
+        q81_profile_stats,
+    )
+
+    df = q81_profile_stats(spark, sf_dir)
+    assert len(read_schema_columns(df)) == 1, explain_str(df)
+    assert op_count(df, "Expand") == 1, explain_str(df)
+
+
+def test_q82_cdc_merge_single_shuffle_no_join(spark, sf_dir):
+    """MERGE-as-aggregate: one shuffle on user_id, no join, no window
+    anywhere — the struct-MAX formulation."""
+    from rime_wanxiang_logger_spark.operators.maintenance import q82_cdc_merge
+
+    df = q82_cdc_merge(spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 1, plan
+    assert op_count(df, "Window") == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_q83_sketch_branch_has_no_expand(spark, sf_dir):
+    """The sketch aggregate (the branch that IS the 100 TB profile)
+    must carry no Expand — only the exact gate side pays it, so the
+    whole plan has exactly one."""
+    from rime_wanxiang_logger_spark.operators.maintenance import (
+        q83_profile_sketch,
+    )
+
+    df = q83_profile_sketch(spark, sf_dir)
+    assert op_count(df, "Expand") == 1, explain_str(df)
+    rows = df.collect()
+    assert all(r["apx_ok"] for r in rows), rows
+
+
 def test_all_queries_no_cartesian_no_global_window(spark):
     """Engine-wide scale guard (judge r1 next-round #7): every
     registered query's plan must be free of (a) CartesianProduct —

@@ -137,6 +137,55 @@ def test_stateful_asof_parity(spark):
         q.stop()
 
 
+def test_stateful_asof_multichunk_out_of_order_parity(spark, tmp_path):
+    """The per-chunk-sort hazard (ADVICE r2): a key's rows arriving
+    across SEVERAL Arrow chunks, in arbitrary row order, must still
+    produce the batch as-of carry — the state fn concatenates all
+    chunks before its single (ts, event_id) sort. Forced here with a
+    shuffled copy of the events file and a tiny Arrow batch size, so
+    every user's rows straddle many chunks out of order."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stage = tmp_path / "events_shuffled"
+    stage.mkdir()
+    (
+        spark.read.parquet(f"{SMALL_SF}/events.parquet")
+        # decorrelate storage order from (user, ts) order
+        .orderBy(F.expr("hash(event_id)"))
+        .coalesce(1)
+        .write.parquet(str(tmp_path / "shuf"))
+    )
+    import glob as _glob
+
+    shutil.copy(
+        _glob.glob(str(tmp_path / "shuf" / "part-*.parquet"))[0],
+        stage / "events.parquet",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        ev = st.read_events_stream(spark, str(stage))
+        q = st.run_stream_to_memory(
+            st.stateful_asof_stream(ev), "asof_shuf", "append"
+        )
+        try:
+            got = {
+                r["event_id"]: r["prior_value"]
+                for r in spark.sql("SELECT * FROM asof_shuf").collect()
+            }
+            batch = {
+                r["event_id"]: r["prior_value"]
+                for r in q09_asof_enrich(spark, SMALL_SF).collect()
+            }
+            assert got == batch
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_jsonl_stream_tail(spark, tmp_path):
     d = tmp_path / "log"
     d.mkdir()
