@@ -15,6 +15,10 @@ q80_dup_span_coverage exact-substring duplication coverage: fraction
                       ("Deduplicating Training Data Makes Language
                       Models Better", Lee et al. 2022) that catches
                       partial overlap whole-doc dedup misses
+q84_source_overlap    cross-source contamination matrix: for every
+                      source pair, how many distinct 8-grams they
+                      share — the train-vs-eval leakage audit run
+                      before mixing sources into a training corpus
 
 Design for 100 TB:
 - q79 is power iteration in PURE INTEGER arithmetic: ranks are BIGINTs
@@ -40,6 +44,15 @@ Design for 100 TB:
   (bounded: ≤ 8× tokens). Never all-pairs, never a window. At 100 TB
   the gram aggregate is the big stage; salting is unnecessary because
   md5 keys are uniform by construction.
+- q84 NEVER joins gram-to-gram: the source list per gram is an
+  aggregate bounded by the source vocabulary (tens, not documents),
+  so pair expansion is a JVM higher-order-function explode of at most
+  C(|sources|, 2) structs per gram. Three shuffles total — distinct
+  (source, gram), groupBy gram, final pair rollup (≤ C(|sources|, 2)
+  keys) — each map-side combined. The naive formulation (self-join of
+  the gram posting list) would shuffle the posting list twice and
+  explode quadratically in per-gram document frequency; this one is
+  linear in distinct (source, gram) pairs.
 """
 
 from __future__ import annotations
@@ -159,6 +172,44 @@ def q80_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 8-gram overlap matrix: (src_a, src_b,
+    n_shared_grams) for every source pair sharing at least one gram,
+    src_a < src_b. The pre-mixing leakage audit: a training source
+    overlapping an eval source shows up as a hot cell.
+
+    Shape (see module docstring): distinct (source, gram) → per-gram
+    sorted source set (bounded by the source vocabulary) → HOF pair
+    explode → tiny rollup. No gram self-join, no cartesian.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        fanout(docs)
+        .select(
+            "source", F.explode(F.expr(_POS_GRAMS_SPARK)).alias("e")
+        )
+        .select("source", F.col("e.g").alias("g"))
+        .distinct()
+    )
+    by_gram = grams.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs = by_gram.where(F.size("ss") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def _pr_round_ctes(i: int) -> str:
     prev = f"r{i - 1}"
     return f"""
@@ -181,6 +232,7 @@ def _pr_round_ctes(i: int) -> str:
 QUERIES = {
     "q79_pagerank": q79_pagerank,
     "q80_dup_span_coverage": q80_dup_span_coverage,
+    "q84_source_overlap": q84_source_overlap,
 }
 
 ORACLE = {
@@ -238,5 +290,29 @@ ORACLE = {
                CAST(COALESCE(n_cov, 0) AS BIGINT) AS n_dup_tokens,
                round(COALESCE(n_cov, 0) / n_tokens, 9) AS dup_frac
         FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
+    """,
+    # The oracle states the SPEC (distinct (source, gram) self-join);
+    # the Spark side is the scale REWRITE (bounded per-gram source-set
+    # explode) — value equality across the two formulations is exactly
+    # what the driver hash-check proves (the q40 salted-agg pattern).
+    "q84_source_overlap": f"""
+        WITH toks AS (
+          SELECT source, string_split(text, ' ') AS t FROM documents
+        ),
+        posn AS (
+          SELECT source, t,
+                 unnest(generate_series(
+                   1, greatest(len(t) - {DUP_GRAM - 1}, 0))) AS pos
+          FROM toks
+        ),
+        g AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(t[pos:pos + {DUP_GRAM - 1}], ' ')) AS g
+          FROM posn
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS n_shared_grams
+        FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
     """,
 }

@@ -226,6 +226,54 @@ def q56_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: every member of a near-dup
+    cluster (q53's components over the MinHash candidate graph) is
+    assigned the split of its cluster REPRESENTATIVE (min doc_id), so
+    near-duplicates can never straddle the train/eval boundary — the
+    companion to q56, which splits each doc independently and would
+    leak eval near-dups into train.
+
+    Output per (split, lang): doc count, char volume, and
+    n_moved — docs whose naive q56 split differs from their
+    cluster-consistent split (the leakage q56 would have shipped).
+
+    Scale: the cluster labels are a per-doc LEFT broadcast-size join
+    only at toy scale; at 100 TB labels is doc-count-sized, so the
+    join shuffles both sides on doc_id — one co-partitioned shuffle,
+    then the same one-scan rollup as q56. Singletons (no candidate
+    pair) are their own representative via coalesce.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("rep_id")
+    )
+    rep = docs.select("doc_id", "lang", "n_chars").join(
+        labels, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce("rep_id", "doc_id").alias("rep_id"),
+    )
+    own_b = F.expr(_h32("CAST(doc_id AS STRING)", "instr")) % F.lit(100)
+    rep_b = F.expr(_h32("CAST(rep_id AS STRING)", "instr")) % F.lit(100)
+    both = rep.withColumn("bucket", rep_b).withColumn(
+        "own_bucket", own_b
+    ).withColumn("split", F.expr(_SPLIT_CASE)).withColumn(
+        "own_split",
+        F.expr(_SPLIT_CASE.replace("bucket", "own_bucket")),
+    )
+    return both.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.when(F.col("split") != F.col("own_split"), 1).otherwise(0)
+        ).cast("bigint").alias("n_moved"),
+    )
+
+
 # TPC-H Q21 shape, adapted to the testdata columns: the dataset has no
 # receipt/commit dates, so "failed the order" is stood in by
 # l_returnflag = 'R' (returned). Semantics preserved exactly:
@@ -276,9 +324,47 @@ QUERIES = {
     "q55_tpch_q18": q55_tpch_q18,
     "q56_hash_split": q56_hash_split,
     "q65_tpch_q21": q65_tpch_q21,
+    "q85_leakfree_split": q85_leakfree_split,
 }
 
+_OWN_SPLIT_CASE = _SPLIT_CASE.replace("bucket", "own_bucket")
+
 ORACLE = {
+    "q85_leakfree_split": f"""
+        WITH RECURSIVE {_CAND_CTE},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION
+          SELECT doc_b, doc_a FROM cand
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+          SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ),
+        rep AS (
+          SELECT d.doc_id, d.lang, d.n_chars,
+                 COALESCE(comp.cluster_id, d.doc_id) AS rep_id
+          FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+        ),
+        b AS (
+          SELECT lang, n_chars,
+                 ({_h32("CAST(rep_id AS VARCHAR)", "strpos")}) % 100
+                   AS bucket,
+                 ({_h32("CAST(doc_id AS VARCHAR)", "strpos")}) % 100
+                   AS own_bucket
+          FROM rep
+        )
+        SELECT {_SPLIT_CASE} AS split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN ({_SPLIT_CASE}) <> ({_OWN_SPLIT_CASE})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM b GROUP BY 1, 2
+    """,
     # Transitive closure via recursive CTE: reach(node, r) = "r is in
     # node's component"; min reachable id == the Spark cluster_id.
     "q53_dedup_clusters": f"""

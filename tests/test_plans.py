@@ -473,6 +473,76 @@ def test_q83_sketch_branch_has_no_expand(spark, sf_dir):
     assert all(r["apx_ok"] for r in rows), rows
 
 
+def test_q84_overlap_matrix_no_gram_self_join(spark, sf_dir):
+    """The contamination matrix must use the bounded source-set
+    rewrite: per-gram sorted source array exploded into pairs — never
+    a gram-to-gram self-join (quadratic in per-gram document
+    frequency). Plan: zero joins, two Generates (gram explode + pair
+    explode)."""
+    from rime_wanxiang_logger_spark.operators.mining import (
+        q84_source_overlap,
+    )
+
+    df = q84_source_overlap(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert op_count(df, "Generate") == 2, plan
+
+
+def test_q85_split_is_leak_free(spark, sf_dir):
+    """Behavioral contract: after cluster-consistent assignment, no
+    candidate near-dup pair straddles two splits (the exact leak q56
+    permits), and the split totals still cover every document."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        _candidate_pairs,
+        _signatures,
+    )
+    from rime_wanxiang_logger_spark.operators.pipeline import (
+        _SPLIT_CASE,
+        _h32,
+        connected_components,
+        q85_leakfree_split,
+    )
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    out = q85_leakfree_split(spark, sf_dir)
+    rows = out.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+    # rebuild the per-doc assignment and check pair consistency
+    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("rep_id")
+    )
+    assign = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_id", "doc_id").alias("rep_id"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(_h32("CAST(rep_id AS STRING)", "instr")) % F.lit(100),
+        )
+        .withColumn("split", F.expr(_SPLIT_CASE))
+        .select("doc_id", "split")
+    )
+    a = assign.toDF("doc_id", "split_a")
+    b = assign.toDF("doc_id", "split_b")
+    straddling = (
+        pairs.join(a, pairs.doc_a == a.doc_id)
+        .join(b, pairs.doc_b == b.doc_id)
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+
+
 def test_all_queries_no_cartesian_no_global_window(spark):
     """Engine-wide scale guard (judge r1 next-round #7): every
     registered query's plan must be free of (a) CartesianProduct —
