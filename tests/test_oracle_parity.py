@@ -21,6 +21,36 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert len(pdf) >= 0
 
 
+def test_q25_oracle_parity_at_sf01_split_active(spark):
+    """q25 is the one query whose SEMANTICS are scale-dependent: the
+    adaptive bucket split (need_bits > 0) only fires once base buckets
+    exceed NEARDUP_CAP, which first happens at sf0.1. The sf0.01 suite
+    above never exercises that branch against the oracle, so pin it
+    here — Spark's split-banded pipeline vs DuckDB's CTE replica at
+    sf0.1, exact values."""
+    import duckdb
+
+    from oracle_utils import run_pair
+
+    sf01 = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS"
+        f" SELECT * FROM '{sf01}/embeddings.parquet'"
+    )
+    try:
+        run_pair(
+            spark,
+            con,
+            sf01,
+            QUERIES["q25_embedding_neardup"],
+            ORACLES["q25_embedding_neardup"],
+            "q25@sf0.1",
+        )
+    finally:
+        con.close()
+
+
 def test_every_query_runs_and_has_rows(spark, sf_dir):
     """Queries without an oracle still must run and return a schema."""
     for name, fn in QUERIES.items():

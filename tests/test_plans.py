@@ -473,6 +473,49 @@ def test_q83_sketch_branch_has_no_expand(spark, sf_dir):
     assert all(r["apx_ok"] for r in rows), rows
 
 
+def test_q25_need_bits_formula_engine_parity():
+    """The adaptive split width lives twice — Python (driver-side dict
+    in neardup_banded) and SQL (the oracle's `need` CTE). Sweep every
+    bucket size 1..200k through both and require bit-identical widths;
+    IEEE log2/ceil agreement is exactly the assumption this pins."""
+    import math
+
+    import duckdb
+
+    from rime_wanxiang_logger_spark.operators.similarity import (
+        NEARDUP_CAP,
+        NEARDUP_EXT_BITS,
+        NEARDUP_SPLIT_MARGIN,
+    )
+
+    py = [
+        min(
+            NEARDUP_EXT_BITS,
+            max(
+                0,
+                math.ceil(
+                    math.log2(NEARDUP_SPLIT_MARGIN * n / NEARDUP_CAP)
+                ),
+            ),
+        )
+        if n > NEARDUP_CAP
+        else 0
+        for n in range(1, 200_001)
+    ]
+    sql = duckdb.connect().execute(
+        f"""
+        SELECT CASE WHEN n > {NEARDUP_CAP} THEN
+                 LEAST({NEARDUP_EXT_BITS}, GREATEST(0,
+                   CAST(ceil(log2({NEARDUP_SPLIT_MARGIN}
+                             * CAST(n AS DOUBLE) / {NEARDUP_CAP}))
+                        AS BIGINT)))
+               ELSE 0 END
+        FROM generate_series(1, 200000) t(n) ORDER BY n
+        """
+    ).fetchall()
+    assert py == [r[0] for r in sql]
+
+
 def test_q84_overlap_matrix_no_gram_self_join(spark, sf_dir):
     """The contamination matrix must use the bounded source-set
     rewrite: per-gram sorted source array exploded into pairs — never
