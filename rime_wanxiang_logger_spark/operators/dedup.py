@@ -186,6 +186,61 @@ def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q86's deterministic "daily batch": docs with doc_id ≡ 9 (mod 10)
+#: are the newly-arrived 10%; the rest are the standing corpus.
+INCR_MOD = 10
+INCR_REM = 9
+
+
+def q86_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: admit-or-reject each NEW doc against
+    the standing corpus WITHOUT recomputing old×old — the shape a
+    100 TB dedup pipeline actually runs daily (the full-corpus q22
+    pass happens once; afterwards every arriving batch band-joins its
+    signatures against the persisted signature/band table).
+
+    Per new doc: band-collision partner count anywhere in the corpus
+    (old or new, itself excluded), the smallest partner id, and the
+    admit verdict (no collisions → unique). Work is |new bands| ×
+    bucket occupancy — linear in the batch, independent of old×old;
+    the new side's modulo filter is pushed below the band join
+    (plan-tested), so the standing side is only ever probed, never
+    self-paired.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # At cluster scale `sig` is the persisted stage table (q22 doc);
+    # pin it so the band build and both consumers share one compute.
+    sig = _signatures(docs).localCheckpoint()
+    bands = _bands(sig)
+    new_pred = (F.col("doc_id") % INCR_MOD) == F.lit(INCR_REM)
+    cand = (
+        bands.where(new_pred)
+        .alias("n")
+        .join(bands.alias("c"), ["band", "bsig"])
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("partner"),
+        )
+        .distinct()
+    )
+    hits = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.min("partner").alias("first_partner"),
+    )
+    return (
+        docs.where(new_pred)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cand", F.lit(0)).cast("bigint").alias("n_cand"),
+            "first_partner",
+            (F.coalesce("n_cand", F.lit(0)) == 0).alias("is_unique"),
+        )
+    )
+
+
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document + two 8-bit band keys (hamming-
     distance bucketing: near-identical docs collide on ≥1 half)."""
@@ -315,6 +370,7 @@ QUERIES = {
     "q23_simhash": q23_simhash,
     "q24_ngram_jaccard": q24_ngram_jaccard,
     "q52_winnowing": q52_winnowing,
+    "q86_incremental_dedup": q86_incremental_dedup,
 }
 
 _R = N_HASHES // N_BANDS
@@ -419,6 +475,26 @@ ORACLE = {
                simhash % 256 AS band_lo,
                CAST((simhash >> 8) & 255 AS INT) AS band_hi
         FROM sh
+    """,
+    "q86_incremental_dedup": f"""
+        WITH {_CAND_CTE},
+        candn AS (
+          SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS partner
+          FROM bands n JOIN bands c
+            ON n.band = c.band AND n.bsig = c.bsig
+          WHERE n.doc_id % {INCR_MOD} = {INCR_REM}
+            AND c.doc_id <> n.doc_id
+        ),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_cand, MIN(partner) AS first_partner
+          FROM candn GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_cand, 0) AS BIGINT) AS n_cand,
+               h.first_partner,
+               COALESCE(h.n_cand, 0) = 0 AS is_unique
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % {INCR_MOD} = {INCR_REM}
     """,
     "q24_ngram_jaccard": f"""
         WITH {_CAND_CTE},

@@ -586,6 +586,45 @@ def test_q85_split_is_leak_free(spark, sf_dir):
     assert straddling == 0
 
 
+def test_q86_incremental_equals_full_dedup_restricted(spark, sf_dir):
+    """The incremental admit pass must see EXACTLY the candidates the
+    full q22 pass would produce for the new batch — no old×old work,
+    but also no lost pairs: {(new, partner)} from q86's band probe ==
+    full candidate pairs touching a new doc."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        _candidate_pairs,
+        _signatures,
+        q86_incremental_dedup,
+    )
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = _candidate_pairs(_signatures(docs).localCheckpoint()).collect()
+    is_new = lambda d: d % INCR_MOD == INCR_REM  # noqa: E731
+    expected: dict[int, set[int]] = {}
+    for r in full:
+        for me, other in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if is_new(me):
+                expected.setdefault(me, set()).add(other)
+    got = {
+        r["doc_id"]: r
+        for r in q86_incremental_dedup(spark, sf_dir).collect()
+    }
+    n_new = docs.where(
+        (F.col("doc_id") % INCR_MOD) == INCR_REM
+    ).count()
+    assert len(got) == n_new
+    for doc_id, row in got.items():
+        exp = expected.get(doc_id, set())
+        assert row["n_cand"] == len(exp), doc_id
+        assert row["first_partner"] == (min(exp) if exp else None), doc_id
+        assert row["is_unique"] == (not exp), doc_id
+
+
 def test_all_queries_no_cartesian_no_global_window(spark):
     """Engine-wide scale guard (judge r1 next-round #7): every
     registered query's plan must be free of (a) CartesianProduct —
