@@ -104,21 +104,38 @@ def _shingled(docs: DataFrame) -> DataFrame:
     )
 
 
-def _signatures_from(sh: DataFrame) -> DataFrame:
-    """(doc_id, sh) shingles → MinHash signature columns h0..h{N_HASHES-1}."""
-    hashed = sh.withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
-    hm = F.col("h") % F.lit(_P)
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_A[s]) * hm + F.lit(_B[s])) % F.lit(_P)).alias(f"h{s}")
-            for s in range(N_HASHES)
-        ]
-    )
-
-
 def _signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → MinHash signature columns h0..h{N_HASHES-1}."""
-    return _signatures_from(_shingled(docs))
+    """doc_id → MinHash signature columns h0..h{N_HASHES-1}.
+
+    Pure PROJECTION — no explode, no shuffle: md5 folds once per
+    shingle into a per-row ``hs`` array, then each of the N_HASHES
+    affine transforms takes one ``array_min`` over it. The previous
+    explode→groupBy formulation shuffled corpus × ~shingles-per-doc
+    rows just to compute per-doc mins; this computes bit-identical
+    values (same md5, same exact BIGINT affine arithmetic — the DuckDB
+    oracle is untouched) with ZERO exchanges, which at 100 TB deletes
+    the dedup pipeline's largest shuffle (plan-tested). Docs shorter
+    than SHINGLE_WORDS words have no shingles and are excluded — the
+    same rows the groupBy form never saw.
+    """
+    hs_expr = f"transform({_SHINGLES_SPARK}, sh -> ({_H32_SPARK}) % {_P})"
+    return (
+        fanout(docs)
+        # cheap word-count guard — filtering on size(hs) would evaluate
+        # the whole md5 array a second time in the Filter operator
+        .where(F.size(F.split("text", " ")) >= SHINGLE_WORDS)
+        .select("doc_id", F.expr(hs_expr).alias("hs"))
+        .select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"array_min(transform(hs,"
+                    f" h -> ({_A[s]} * h + {_B[s]}) % {_P}))"
+                ).alias(f"h{s}")
+                for s in range(N_HASHES)
+            ],
+        )
+    )
 
 
 def _bands(sig: DataFrame) -> DataFrame:

@@ -586,6 +586,23 @@ def test_q85_split_is_leak_free(spark, sf_dir):
     assert straddling == 0
 
 
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    """The signature stage is a pure projection: md5 per shingle into
+    an array, array_min per hash function — ZERO exchanges. This is
+    the dedup pipeline's scale guarantee (the old explode→groupBy form
+    shuffled corpus × shingles rows just to take per-doc mins)."""
+    from rime_wanxiang_logger_spark.operators.dedup import _signatures
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    sig = _signatures(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(sig)
+    # the only allowed exchange is fanout's round-robin parallelism
+    # spreader — no key (hash) repartition, no aggregation exchange
+    assert "hashpartitioning" not in plan, plan
+    assert op_count(sig, "HashAggregate") == 0, plan
+    assert op_count(sig, "Generate") == 0, plan
+
+
 def test_q86_incremental_equals_full_dedup_restricted(spark, sf_dir):
     """The incremental admit pass must see EXACTLY the candidates the
     full q22 pass would produce for the new batch — no old×old work,
