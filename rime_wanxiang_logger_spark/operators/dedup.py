@@ -260,25 +260,34 @@ def q86_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document + two 8-bit band keys (hamming-
-    distance bucketing: near-identical docs collide on ≥1 half)."""
+    distance bucketing: near-identical docs collide on ≥1 half).
+
+    Shuffle-free like `_signatures`: a document's bit-sums are sums
+    over ITS OWN tokens, so each is one ``aggregate`` fold over the
+    per-row token-hash array — md5 once per token, 16 integer folds,
+    zero exchanges (integer addition is exact and commutative, so the
+    fold order change vs the old explode→groupBy is value-identical;
+    the DuckDB oracle is untouched)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = fanout(docs).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
     # 16-bit token hash from the first 4 hex chars of md5, via an
     # engine-portable hex decode (no conv() in DuckDB).
-    hx = "instr('0123456789abcdef', substring(md5(token), {i}, 1)) - 1"
+    hx = "instr('0123456789abcdef', substring(md5(t), {i}, 1)) - 1"
     h16 = " + ".join(
         f"(({hx.format(i=i + 1)}) * {16 ** (3 - i)})" for i in range(4)
     )
-    tok = tok.withColumn("h", F.expr(h16).cast("int"))
-    bitsums = tok.groupBy("doc_id").agg(
+    hs = f"transform(split(text, ' '), t -> CAST({h16} AS INT))"
+    bitsums = fanout(docs).select(
+        "doc_id",
+        F.expr(hs).alias("hs"),
+    ).select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            F.expr(
+                f"aggregate(hs, 0, (acc, h) -> acc +"
+                f" (CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END))"
             ).alias(f"s{i}")
             for i in range(16)
-        ]
+        ],
     )
     simhash = sum(
         F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))

@@ -125,26 +125,38 @@ def q76_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flag comparisons run on the ROUNDED fractions so both engines see
     bit-identical inputs."""
     docs = load_table(spark, sf_dir, "documents")
-    wstat = (
-        _word_rows(docs)
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_words"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("cnt").alias("top_cnt"),
-        )
-    )
-    bstat = (
+    # Shuffle-free (the dedup._signatures pattern): every statistic is
+    # a function of ONE document's own token/bigram arrays, so the two
+    # explode→double-groupBy chains collapse into per-row HOF folds —
+    # top_cnt is an O(distinct × tokens) in-row scan (~µs/doc), far
+    # cheaper than shuffling corpus × tokens rows. The `size >= 2`
+    # guard reproduces the old inner wstat⋈bstat join, which dropped
+    # docs with no bigram rows. Counts are exact ints either way; the
+    # DuckDB oracle is untouched.
+    stats = (
         fanout(docs)
-        .select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_uniq_bigrams"),
+        .select(
+            "doc_id",
+            F.split("text", " ").alias("tk"),
+            F.expr(_BIGRAMS_SPARK).alias("bg"),
+        )
+        .where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_words"),
+            F.expr("size(array_distinct(tk))")
+            .cast("bigint")
+            .alias("n_distinct"),
+            F.expr(
+                "array_max(transform(array_distinct(tk),"
+                " d -> size(filter(tk, t -> t = d))))"
+            )
+            .cast("bigint")
+            .alias("top_cnt"),
+            F.size("bg").cast("bigint").alias("n_bigrams"),
+            F.expr("size(array_distinct(bg))")
+            .cast("bigint")
+            .alias("n_uniq_bigrams"),
         )
     )
     top_frac = F.round(F.col("top_cnt") / F.col("n_words"), 9)
@@ -153,7 +165,7 @@ def q76_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bigrams") - F.col("n_uniq_bigrams")) / F.col("n_bigrams"), 9
     )
     return (
-        wstat.join(bstat, "doc_id")
+        stats
         .select(
             "doc_id",
             "n_words",

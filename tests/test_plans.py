@@ -603,6 +603,24 @@ def test_minhash_signatures_shuffle_free(spark, sf_dir):
     assert op_count(sig, "Generate") == 0, plan
 
 
+def test_per_doc_stats_shuffle_free(spark, sf_dir):
+    """q23 (SimHash) and q76 (repetition stats) compute per-document
+    statistics only — their plans must be pure projections: no key
+    exchange, no aggregate, no explode (r3 rewrite; the old forms
+    shuffled corpus × tokens rows)."""
+    from rime_wanxiang_logger_spark.operators.dedup import q23_simhash
+    from rime_wanxiang_logger_spark.operators.quality import (
+        q76_repetition_stats,
+    )
+
+    for fn in (q23_simhash, q76_repetition_stats):
+        df = fn(spark, sf_dir)
+        plan = explain_str(df)
+        assert "hashpartitioning" not in plan, (fn.__name__, plan)
+        assert op_count(df, "HashAggregate") == 0, (fn.__name__, plan)
+        assert op_count(df, "Generate") == 0, (fn.__name__, plan)
+
+
 def test_q86_incremental_equals_full_dedup_restricted(spark, sf_dir):
     """The incremental admit pass must see EXACTLY the candidates the
     full q22 pass would produce for the new batch — no old×old work,
