@@ -115,25 +115,37 @@ NEARDUP_SCORE_BLOCK = 1024
 
 
 def _signatures(v: DataFrame) -> DataFrame:
-    """8-bit sign-LSH signature per vector (shared by q25/q27): bit i =
-    sign of dot with hyperplane i (the first N_PLANES vectors —
-    data-derived, deterministic, no RNG)."""
-    planes = v.where(F.col("vec_id") < N_PLANES).select(
-        F.col("vec_id").alias("p_id"), F.col("v").alias("vp")
-    )
-    return (
-        v.select("vec_id", "v")
-        .crossJoin(F.broadcast(planes))
-        .withColumn("bit", F.when(_dot("v", "vp") > 0, 1).otherwise(0))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.col("bit") * F.pow(F.lit(2.0), F.col("p_id")).cast("bigint")
-            )
-            .cast("int")
-            .alias("sig")
+    """8-bit sign-LSH signature per vector (q27): bit i = sign of dot
+    with hyperplane i (the first N_PLANES vectors — data-derived,
+    deterministic, no RNG).
+
+    Shuffle-free (r3, the dedup._signatures pattern): the 8 planes are
+    a constant-size model parameter, collected once and inlined as
+    array literals, so the signature is a pure projection — 8 in-row
+    ``zip_with``/``aggregate`` dot folds replacing the old 8-row
+    broadcast nested-loop join + groupBy. The fold order over the 64
+    dims is unchanged, so signatures are bit-identical and the DuckDB
+    oracle is untouched."""
+    planes = [
+        list(r["v"])
+        for r in v.where(F.col("vec_id") < N_PLANES)
+        .orderBy("vec_id")
+        .select("v")
+        .collect()
+    ]
+
+    def dot_plane(p: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        prod = F.zip_with(F.col("v"), arr, lambda x, y: x * y)
+        return F.aggregate(
+            prod, F.lit(0.0).cast("double"), lambda acc, t: acc + t
         )
+
+    sig = sum(
+        F.when(dot_plane(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
     )
+    return v.select("vec_id", sig.cast("int").alias("sig"))
 
 
 def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
