@@ -392,6 +392,80 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def dedup_admit_stream(spark, new_docs: DataFrame, sf_dir: str) -> DataFrame:
+    """q86's incremental-dedup admit pass on an UNBOUNDED new-doc
+    stream: per arriving document, its band-collision partner count
+    against the standing corpus and the admit verdict.
+
+    Possible only because the MinHash signature is a pure projection
+    (operators/dedup._signatures, r3): stateless per-row HOFs apply to
+    streams unchanged, so the plan is project → explode bands →
+    STREAM-STATIC join against the persisted corpus band table →
+    per-doc aggregate. The static side is fixed at query start (the
+    nightly-refreshed band table in production); the only streaming
+    state is the complete-mode aggregate, keyed by the batch's docs.
+
+    Batch-parity tested against q86 on the same staged files
+    (tests/test_streaming.py).
+    """
+    from ..operators.dedup import _bands, _signatures
+    from ..sources.readers import load_table
+
+    corpus_bands = _bands(
+        _signatures(load_table(spark, sf_dir, "documents"))
+    )
+    new_bands = _bands(_signatures_stream(new_docs))
+    cand = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            ["band", "bsig"],
+        )
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("partner"),
+        )
+        .dropDuplicates(["doc_id", "partner"])
+    )
+    return cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.min("partner").alias("first_partner"),
+    )
+
+
+def _signatures_stream(docs: DataFrame) -> DataFrame:
+    """dedup._signatures applied to a streaming docs relation — the
+    same projection expressions; separated only because the batch
+    helper wraps its input in ``fanout`` (a repartition, disallowed on
+    streaming relations)."""
+    from ..operators.dedup import (
+        _A,
+        _B,
+        _H32_SPARK,
+        _P,
+        _SHINGLES_SPARK,
+        N_HASHES,
+        SHINGLE_WORDS,
+    )
+
+    hs_expr = f"transform({_SHINGLES_SPARK}, sh -> ({_H32_SPARK}) % {_P})"
+    return (
+        docs.where(F.size(F.split("text", " ")) >= SHINGLE_WORDS)
+        .select("doc_id", F.expr(hs_expr).alias("hs"))
+        .select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"array_min(transform(hs,"
+                    f" h -> ({_A[s]} * h + {_B[s]}) % {_P}))"
+                ).alias(f"h{s}")
+                for s in range(N_HASHES)
+            ],
+        )
+    )
+
+
 ATTRIBUTION_HORIZON = "1 hour"
 
 

@@ -239,6 +239,60 @@ def test_dedup_stream_parity(spark, tmp_path):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_dedup_admit_stream_parity(spark, tmp_path):
+    """Streaming incremental-dedup admit (stream-static band join on
+    projection signatures) must produce exactly the batch q86 verdicts
+    for the same new-doc batch — per doc: candidate count and smallest
+    partner. Streamed in TWO files so the stream-static join spans
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        q86_incremental_dedup,
+    )
+
+    sf = SMALL_SF
+    src = tmp_path / "new_docs"
+    src.mkdir()
+    new = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where((F.col("doc_id") % INCR_MOD) == INCR_REM)
+    )
+    half = new.count() // 2
+    new.where(F.col("doc_id") <= half * INCR_MOD).coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+    new.where(F.col("doc_id") > half * INCR_MOD).coalesce(1).write.parquet(
+        str(src / "batch2")
+    )
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = st.run_stream_to_memory(
+        st.dedup_admit_stream(spark, stream, sf), "admit", "complete"
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["n_cand"], r["first_partner"])
+            for r in spark.table("admit").collect()
+        }
+        batch = {
+            r["doc_id"]: (r["n_cand"], r["first_partner"])
+            for r in q86_incremental_dedup(spark, sf).collect()
+            if r["n_cand"] > 0  # stream emits only colliding docs
+        }
+        assert got == batch
+        assert batch  # non-vacuous: some collisions exist
+    finally:
+        q.stop()
+
+
 def test_attribution_stream_parity(spark):
     """Stream-stream interval join must produce exactly the batch
     join's (purchase, view-within-horizon) pair set."""
