@@ -156,6 +156,14 @@ def fanout(df: DataFrame, parts: int | None = None) -> DataFrame:
     unlocks full-core parallelism for the expensive stage that follows.
     Only use where downstream cost per row dwarfs one tiny shuffle —
     never on plain scan/filter/agg paths (Catalyst handles those).
+
+    Guarded (r3): when the input already has at least the target
+    parallelism — every real lake scan — this is a literal no-op, so
+    the helper can never become a corpus-wide shuffle at 100 TB. The
+    repartition only fires for under-split inputs (the single-row-group
+    test files it exists for).
     """
     n = parts or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

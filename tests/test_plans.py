@@ -586,6 +586,20 @@ def test_q85_split_is_leak_free(spark, sf_dir):
     assert straddling == 0
 
 
+def test_fanout_is_noop_on_well_split_input(spark):
+    """fanout exists to unlock parallelism on single-split test files;
+    on an input that already meets the target parallelism it must add
+    NO exchange (at 100 TB an unconditional repartition would shuffle
+    the whole corpus for nothing)."""
+    from rime_wanxiang_logger_spark.sources.readers import fanout
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 10_000, 1, n + 4)
+    assert shuffle_count(fanout(wide)) == 0, explain_str(fanout(wide))
+    narrow = spark.range(0, 100, 1, 1)
+    assert shuffle_count(fanout(narrow)) == 1
+
+
 def test_minhash_signatures_shuffle_free(spark, sf_dir):
     """The signature stage is a pure projection: md5 per shingle into
     an array, array_min per hash function — ZERO exchanges. This is
