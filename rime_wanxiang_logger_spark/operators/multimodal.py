@@ -168,14 +168,147 @@ def q51_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.mapInPandas(make_frame_sampler(), schema=_FRAME_SCHEMA)
 
 
+# The fake decode is SQL-expressible (ASCII text ⇒ md5(text) = md5(bytes);
+# byte[0] = ascii code of first char).
+RESIZE_BOX = 32  # thumbnail bounding box (px)
+FEAT_DIMS = 8  # fake feature-vector width
+
+
+def q87_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary payload → source dims (fake decode) →
+    aspect-preserving fit into a RESIZE_BOX square → output dims +
+    passthrough checksum, all inside one Arrow ``mapInPandas`` stage.
+    A real pipeline swaps the closure body for PIL's ``thumbnail``;
+    batch shape, schema, filter and parallelism are the production
+    plumbing. Only downscales (scale capped at 1.0), floors to ≥1 px —
+    the exact float semantics the SQL oracle replays."""
+    bt = fanout(
+        binary_table(spark, sf_dir)
+        .select("doc_id", "payload")
+        .where(F.length("payload") > 0)
+    )
+    box = RESIZE_BOX
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import math as _math
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payload = pdf["payload"]
+            w = payload.map(lambda b: len(b) % 64 + 1)
+            h = payload.map(lambda b: b[0] % 32 + 1)
+            s = [
+                min(1.0, box / float(wi), box / float(hi))
+                for wi, hi in zip(w, h)
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": w,
+                    "src_h": h,
+                    "out_w": [
+                        max(1, int(_math.floor(wi * si)))
+                        for wi, si in zip(w, s)
+                    ],
+                    "out_h": [
+                        max(1, int(_math.floor(hi * si)))
+                        for hi, si in zip(h, s)
+                    ],
+                    "checksum": payload.map(
+                        lambda b: _hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return bt.mapInPandas(
+        resize,
+        schema=(
+            "doc_id bigint, src_w bigint, src_h bigint,"
+            " out_w bigint, out_h bigint, checksum string"
+        ),
+    )
+
+
+def q88_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction plumbing: binary payload → FEAT_DIMS-dim
+    deterministic fake embedding, emitted LONG FORM (doc_id, dim,
+    feat) so every element is oracle-value-checked without array-type
+    stringification hazards. The closure body is where a real pipeline
+    runs its vision/audio encoder; feature f_i derives from
+    md5(payload ‖ '|' ‖ i) so the Spark/DuckDB comparison covers the
+    whole batch path."""
+    bt = fanout(binary_table(spark, sf_dir).select("doc_id", "payload"))
+    dims = FEAT_DIMS
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_doc, out_dim, out_feat = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                text = b.decode("utf-8")
+                for i in range(dims):
+                    hx = _hashlib.md5(
+                        f"{text}|{i}".encode("utf-8")
+                    ).hexdigest()
+                    out_doc.append(doc_id)
+                    out_dim.append(i)
+                    out_feat.append(
+                        round(int(hx[:8], 16) / 4294967296.0, 9)
+                    )
+            yield _pd.DataFrame(
+                {"doc_id": out_doc, "dim": out_dim, "feat": out_feat}
+            )
+
+    return bt.mapInPandas(
+        extract, schema="doc_id bigint, dim int, feat double"
+    )
+
+
 QUERIES = {
     "q32_multimodal_decode": q32_multimodal_decode,
     "q51_frame_sample": q51_frame_sample,
+    "q87_image_resize": q87_image_resize,
+    "q88_feature_extract": q88_feature_extract,
 }
 
-# The fake decode is SQL-expressible (ASCII text ⇒ md5(text) = md5(bytes);
-# byte[0] = ascii code of first char).
+# md5-hex prefix → bigint (strpos decode, the dedup._H32 idiom).
+_H32_FEAT = " + ".join(
+    f"(CAST(strpos('0123456789abcdef', substring(md5(text || '|' ||"
+    f" CAST(i AS VARCHAR)), {j + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - j)})"
+    for j in range(8)
+)
+
 ORACLE = {
+    "q87_image_resize": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS src_w,
+                 CAST(ascii(substring(text, 1, 1)) % 32 + 1 AS BIGINT)
+                   AS src_h,
+                 md5(text) AS checksum
+          FROM documents WHERE length(text) > 0
+        ), s AS (
+          SELECT *, LEAST(1.0, {RESIZE_BOX}.0 / src_w,
+                          {RESIZE_BOX}.0 / src_h) AS sc
+          FROM d
+        )
+        SELECT doc_id, src_w, src_h,
+               GREATEST(1, CAST(floor(src_w * sc) AS BIGINT)) AS out_w,
+               GREATEST(1, CAST(floor(src_h * sc) AS BIGINT)) AS out_h,
+               checksum
+        FROM s
+    """,
+    "q88_feature_extract": f"""
+        SELECT doc_id, CAST(i AS INT) AS dim,
+               round(({_H32_FEAT}) / 4294967296.0, 9) AS feat
+        FROM documents,
+             LATERAL unnest(generate_series(0, {FEAT_DIMS - 1})) AS t(i)
+    """,
     "q51_frame_sample": f"""
         WITH f AS (
           SELECT doc_id,
