@@ -318,6 +318,82 @@ def q65_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q2 shape, adapted: the testdata has no partsupp table, so the
+# part-supplier relation derives from lineitem with MIN(l_extendedprice)
+# as the supply cost (MIN is a stored value — exact and deterministic in
+# both engines, unlike AVG). Semantics preserved: correlated scalar MIN
+# subquery scoped by region, decorrelated by Catalyst into agg + join.
+_Q2_SQL = """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice) AS supply_cost
+      FROM {lineitem} lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+    FROM {part} part, ps, {supplier} supplier, {nation} nation,
+         {region} region
+    WHERE p_partkey = ps.partkey AND s_suppkey = ps.suppkey
+      AND p_size <= 10 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND supply_cost = (
+        SELECT MIN(ps2.supply_cost)
+        FROM ps ps2, {supplier} s2, {nation} n2, {region} r2
+        WHERE ps2.partkey = p_partkey AND s2.s_suppkey = ps2.suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+# TPC-H Q16 shape, adapted: supplier breadth per part attribute with a
+# NOT IN exclusion subquery (negative account balance stands in for the
+# complaints filter). NOT IN is the null-aware anti-join decorrelation
+# case the other TPC-H shapes don't cover.
+_Q16_SQL = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM {lineitem} lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT suppkey) AS supplier_cnt
+    FROM ps JOIN {part} part ON p_partkey = partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'SMALL'
+      AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+      AND suppkey NOT IN (
+        SELECT s_suppkey FROM {supplier} supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q89_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest-supplier-per-part in a region via a
+    correlated scalar MIN subquery over a derived part-supplier
+    relation — the region-scoped twin of q54's per-part average.
+    DataFrame parameter binding, no temp views (q54 pattern)."""
+    return spark.sql(
+        _Q2_SQL,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        part=load_table(spark, sf_dir, "part"),
+        supplier=load_table(spark, sf_dir, "supplier"),
+        nation=load_table(spark, sf_dir, "nation"),
+        region=load_table(spark, sf_dir, "region"),
+    )
+
+
+def q90_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT IN exclusion — Catalyst's null-aware anti-join
+    rewrite, the one decorrelation case q54/q55/q65 don't exercise."""
+    return spark.sql(
+        _Q16_SQL,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        part=load_table(spark, sf_dir, "part"),
+        supplier=load_table(spark, sf_dir, "supplier"),
+    )
+
+
 QUERIES = {
     "q53_dedup_clusters": q53_dedup_clusters,
     "q54_tpch_q17": q54_tpch_q17,
@@ -325,6 +401,8 @@ QUERIES = {
     "q56_hash_split": q56_hash_split,
     "q65_tpch_q21": q65_tpch_q21,
     "q85_leakfree_split": q85_leakfree_split,
+    "q89_tpch_q2": q89_tpch_q2,
+    "q90_tpch_q16": q90_tpch_q16,
 }
 
 _OWN_SPLIT_CASE = _SPLIT_CASE.replace("bucket", "own_bucket")
@@ -430,5 +508,17 @@ ORACLE = {
         lineitem="lineitem",
         orders="orders",
         nation="nation",
+    ),
+    "q89_tpch_q2": _Q2_SQL.format(
+        lineitem="lineitem",
+        part="part",
+        supplier="supplier",
+        nation="nation",
+        region="region",
+    ),
+    "q90_tpch_q16": _Q16_SQL.format(
+        lineitem="lineitem",
+        part="part",
+        supplier="supplier",
     ),
 }

@@ -186,6 +186,31 @@ def test_q54_correlated_subquery_decorrelates(spark, sf_dir):
     assert "p_brand" in " ".join(pushed_filters(df))
 
 
+def test_q89_q2_decorrelates_and_prunes(spark, sf_dir):
+    """TPC-H Q2 shape: the region-scoped correlated MIN must rewrite
+    to aggregate + join (no per-row Subquery), with the part filters
+    pushed to the scan and every dimension broadcast."""
+    from rime_wanxiang_logger_spark.operators.pipeline import q89_tpch_q2
+
+    df = q89_tpch_q2(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Subquery" not in plan, plan
+    assert has_broadcast_join(df), plan
+    pushed = " ".join(pushed_filters(df))
+    assert "p_size" in pushed and "p_type" in pushed, pushed
+
+
+def test_q90_q16_not_in_becomes_null_aware_anti_join(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN must become a (null-aware) anti join —
+    never a per-row subquery or a cartesian."""
+    from rime_wanxiang_logger_spark.operators.pipeline import q90_tpch_q16
+
+    df = q90_tpch_q16(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q55_having_filter_before_join(spark, sf_dir):
     """Q18 shape: the quantity-threshold filter must apply to the
     AGGREGATED per-order rows before any join (the join input is the
