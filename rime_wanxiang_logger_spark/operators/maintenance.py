@@ -175,6 +175,65 @@ def q83_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the
+    dbt-test / Great-Expectations checks a lakehouse runs after every
+    load, as ONE query: per relationship, how many child rows have no
+    parent (and for the doc↔embedding pair, both directions). Output
+    (check_name, n_violations) — all-zeros is the healthy state.
+
+    Scale shape: each check is a LEFT ANTI join counting orphans —
+    dimension parents broadcast (orders/customer/part/supplier keys are
+    the small side after distinct-pruning at real scale too, since only
+    KEYS join); the six 1-row counts union into one 6-row result. No
+    window, no cartesian; at 100 TB each check is one shuffle-free
+    broadcast anti join over the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def orphans(name, child, ckey, parent, pkey):
+        return (
+            child.select(F.col(ckey))
+            .join(
+                F.broadcast(parent.select(F.col(pkey)).distinct()),
+                child[ckey] == parent[pkey],
+                "left_anti",
+            )
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("n_violations"),
+            )
+        )
+
+    checks = [
+        orphans("lineitem_has_order", li, "l_orderkey", orders, "o_orderkey"),
+        orphans("lineitem_has_part", li, "l_partkey", part, "p_partkey"),
+        orphans(
+            "lineitem_has_supplier", li, "l_suppkey", supp, "s_suppkey"
+        ),
+        orphans("order_has_customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("doc_has_embedding", docs, "doc_id", emb, "vec_id"),
+        orphans("embedding_has_doc", emb, "vec_id", docs, "doc_id"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def _integrity_select(name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+        SELECT '{name}' AS check_name, COUNT(*) AS n_violations
+        FROM {child} c WHERE NOT EXISTS (
+          SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})"""
+
+
 def _profile_select(c: str) -> str:
     return f"""
         SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
@@ -197,12 +256,27 @@ QUERIES = {
     "q81_profile_stats": q81_profile_stats,
     "q82_cdc_merge": q82_cdc_merge,
     "q83_profile_sketch": q83_profile_sketch,
+    "q91_integrity_audit": q91_integrity_audit,
 }
 
 ORACLE = {
     "q81_profile_stats": " UNION ALL ".join(
         _profile_select(c) for c in PROFILE_COLS
     ),
+    "q91_integrity_audit": " UNION ALL ".join([
+        _integrity_select("lineitem_has_order", "lineitem", "l_orderkey",
+                          "orders", "o_orderkey"),
+        _integrity_select("lineitem_has_part", "lineitem", "l_partkey",
+                          "part", "p_partkey"),
+        _integrity_select("lineitem_has_supplier", "lineitem", "l_suppkey",
+                          "supplier", "s_suppkey"),
+        _integrity_select("order_has_customer", "orders", "o_custkey",
+                          "customer", "c_custkey"),
+        _integrity_select("doc_has_embedding", "documents", "doc_id",
+                          "embeddings", "vec_id"),
+        _integrity_select("embedding_has_doc", "embeddings", "vec_id",
+                          "documents", "doc_id"),
+    ]),
     "q83_profile_sketch": " UNION ALL ".join(
         _sketch_select(c) for c in PROFILE_COLS
     ),
