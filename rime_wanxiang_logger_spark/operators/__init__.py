@@ -132,33 +132,100 @@ _DRIVER_VERIFIED = frozenset({
     "q41_topk_per_group", "q42_embedding_centroid",
     "q44_ann_ivf", "q45_sketches", "q46_tpch_q3", "q47_grouping_sets",
     "q48_rolling_window", "q49_skew_join",
+    # r3 driver round (CORRECTNESS_r03.json): all 50 checked rows green,
+    # covering the full r3-changed set plus q01/q02. Promoted here so the
+    # r4 cap lands on new/changed work only (VERDICT r3 "Next round" #1).
+    "q22_minhash_lsh", "q23_simhash", "q24_ngram_jaccard",
+    "q25_embedding_neardup", "q27_ann_lsh", "q43_stream_hourly",
+    "q50_tpch_q5", "q51_frame_sample", "q52_winnowing",
+    "q53_dedup_clusters", "q54_tpch_q17", "q55_tpch_q18",
+    "q56_hash_split", "q57_stratified_sample", "q58_curation_funnel",
+    "q59_latest_by_key", "q60_session_funnel", "q61_resample_gapfill",
+    "q62_scd2_intervals", "q63_variant_extract", "q64_chunk_windows",
+    "q65_tpch_q21", "q66_embedding_quantize", "q67_rank_functions",
+    "q68_tfidf", "q69_bigram_pmi", "q70_page_rank_replay", "q71_bm25",
+    "q72_semantic_dedup", "q73_source_mix", "q74_pack_sequences",
+    "q75_decontaminate", "q76_repetition_stats", "q77_rarity_score",
+    "q78_inverted_index", "q79_pagerank", "q80_dup_span_coverage",
+    "q81_profile_stats", "q82_cdc_merge", "q83_profile_sketch",
+    "q84_source_overlap", "q85_leakfree_split", "q86_incremental_dedup",
+    "q87_image_resize", "q88_feature_extract", "q89_tpch_q2",
+    "q90_tpch_q16", "q91_integrity_audit",
 })
 
 _PKG_DIR = _Path(__file__).resolve().parent
 _VERIFIED_HASH_FILE = _PKG_DIR / "_verified_hashes.json"
 
-# Shared-helper sources whose edits change query semantics everywhere
-# (reader shims, schemas): they fold into EVERY module's hash, so a
-# reader change invalidates the whole verified set.
-_GLOBAL_SOURCES = ["../sources/readers.py", "../schemas.py"]
-# Per-module extra sources (module stem -> paths relative to this
-# package) — e.g. the streaming queries registered in extensions.py
-# execute code that lives in streaming/twin.py.
-_EXTRA_SOURCES = {
-    "extensions": ["../streaming/twin.py"],
-}
+
+def _intra_package_imports(path: _Path) -> set[_Path]:
+    """Package-internal .py files imported by ``path``.
+
+    Walks the module's AST (so function-local imports like
+    extensions.py's ``from ..streaming.twin import ...`` count too) and
+    resolves every relative import — ``from .sib import x``,
+    ``from . import sib``, ``from ..pkg.mod import x``,
+    ``from ..pkg import mod`` — to an existing file. This feeds the
+    hash closure below: an edit to dedup.py must invalidate the
+    driver-verified rows of mining/pipeline/quality, which execute
+    dedup's helpers (the stale-green hole ADVICE r3 flagged).
+    """
+    import ast
+
+    out: set[_Path] = set()
+    try:
+        tree = ast.parse(path.read_text())
+    except (OSError, SyntaxError):  # pragma: no cover
+        return out
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.ImportFrom) and node.level > 0):
+            continue
+        base = path.resolve().parent
+        for _ in range(node.level - 1):
+            base = base.parent
+        parts = node.module.split(".") if node.module else []
+        mod_path = base.joinpath(*parts) if parts else base
+        as_file = mod_path.with_suffix(".py")
+        if parts and as_file.is_file():
+            out.add(as_file.resolve())
+            continue
+        for alias in node.names:  # `from .pkg import mod` forms
+            sub = mod_path / (alias.name + ".py")
+            if sub.is_file():
+                out.add(sub.resolve())
+    return out
+
+
+def _source_closure(path: _Path) -> list[_Path]:
+    """Transitive closure of ``path`` over intra-package imports."""
+    seen: set[_Path] = set()
+    stack = [path.resolve()]
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        stack.extend(_intra_package_imports(p))
+    return sorted(seen)
+
+
+_HASH_CACHE: dict[str, str] = {}
 
 
 def _module_src_hash(mod) -> str:
-    """Stable digest of a query module's defining source files."""
+    """Stable digest of a query module's defining source files: the
+    module itself plus every package-internal file it transitively
+    imports (readers/schemas shims, sibling helpers, streaming twins)."""
     base = _Path(mod.__file__).resolve()
-    paths = [base]
-    for rel in _EXTRA_SOURCES.get(base.stem, []) + _GLOBAL_SOURCES:
-        paths.append((_PKG_DIR / rel).resolve())
+    cached = _HASH_CACHE.get(str(base))
+    if cached is not None:
+        return cached
     h = _hashlib.sha256()
-    for p in paths:
+    for p in _source_closure(base):
+        h.update(str(p.relative_to(_PKG_DIR.parent)).encode())
         h.update(p.read_bytes())
-    return h.hexdigest()[:16]
+    digest = h.hexdigest()[:16]
+    _HASH_CACHE[str(base)] = digest
+    return digest
 
 
 def _load_verified_hashes() -> dict[str, str]:
