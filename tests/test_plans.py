@@ -498,6 +498,26 @@ def test_q83_sketch_branch_has_no_expand(spark, sf_dir):
     assert all(r["apx_ok"] for r in rows), rows
 
 
+def test_q91_no_forced_broadcast_on_parents(spark, sf_dir):
+    """Integrity audit: parent key sets are fact-sized at 100 TB
+    (orders/customer/part are billions of distinct keys), so q91 must
+    never FORCE a broadcast — the logical plan carries no hint and the
+    strategy is AQE's to pick. At test scale the physical plan may (and
+    should) still auto-broadcast under the size threshold; only the
+    forced hint is the scale hazard (r3 VERDICT finding #1)."""
+    from rime_wanxiang_logger_spark.operators.maintenance import (
+        q91_integrity_audit,
+    )
+
+    df = q91_integrity_audit(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "UnresolvedHint" not in analyzed, analyzed
+    # still correct: healthy star schema -> zero violations everywhere
+    rows = {r["check_name"]: r["n_violations"] for r in df.collect()}
+    assert len(rows) == 6 and set(rows.values()) == {0}, rows
+
+
 def test_q25_need_bits_formula_engine_parity():
     """The adaptive split width lives twice — Python (driver-side dict
     in neardup_banded) and SQL (the oracle's `need` CTE). Sweep every
