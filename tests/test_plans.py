@@ -519,46 +519,83 @@ def test_q91_no_forced_broadcast_on_parents(spark, sf_dir):
 
 
 def test_q25_need_bits_formula_engine_parity():
-    """The adaptive split width lives twice — Python (driver-side dict
-    in neardup_banded) and SQL (the oracle's `need` CTE). Sweep every
-    bucket size 1..200k through both and require bit-identical widths;
-    IEEE log2/ceil agreement is exactly the assumption this pins."""
-    import math
-
+    """The adaptive split width lives twice — Python (_need_bits_int in
+    neardup_banded's sizing pass) and SQL (the oracle's `need0` CTE).
+    Both are now exact integer arithmetic (ADVICE r3 retired the float
+    log2 form); sweep bucket sizes through both and require identical
+    widths, including sizes far beyond the old 6-bit constant budget,
+    plus the exact power-of-two split boundaries."""
     import duckdb
 
     from rime_wanxiang_logger_spark.operators.similarity import (
-        NEARDUP_CAP,
-        NEARDUP_EXT_BITS,
-        NEARDUP_SPLIT_MARGIN,
+        _NEED_BITS_DUCK,
+        _need_bits_int,
     )
 
-    py = [
-        min(
-            NEARDUP_EXT_BITS,
-            max(
-                0,
-                math.ceil(
-                    math.log2(NEARDUP_SPLIT_MARGIN * n / NEARDUP_CAP)
-                ),
-            ),
-        )
-        if n > NEARDUP_CAP
-        else 0
-        for n in range(1, 200_001)
+    ns = list(range(1, 200_001)) + [
+        10**6, 10**7, 10**9, 10**12,  # 100 TB-class bucket sizes
     ]
-    sql = duckdb.connect().execute(
-        f"""
-        SELECT CASE WHEN n > {NEARDUP_CAP} THEN
-                 LEAST({NEARDUP_EXT_BITS}, GREATEST(0,
-                   CAST(ceil(log2({NEARDUP_SPLIT_MARGIN}
-                             * CAST(n AS DOUBLE) / {NEARDUP_CAP}))
-                        AS BIGINT)))
-               ELSE 0 END
-        FROM generate_series(1, 200000) t(n) ORDER BY n
-        """
+    py = [_need_bits_int(n) for n in ns]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in ns])
+    sql = con.execute(
+        f"SELECT {_NEED_BITS_DUCK.format(n='n')} FROM t ORDER BY rowid"
     ).fetchall()
     assert py == [r[0] for r in sql]
+    # semantics: smallest nb with margin*n <= cap*2^nb (margin 3/2)
+    for n, nb in [(128, 0), (129, 1), (170, 1), (171, 2), (40_000, 9)]:
+        assert _need_bits_int(n) == nb, (n, nb)
+
+
+def test_q25_budget_tracks_skewed_corpus(spark, tmp_path):
+    """The extension-bit budget must be DERIVED from the sizing pass —
+    a corpus with one pathologically hot base bucket needs more than
+    the old 6-bit constant (r3 VERDICT "Next round" #3: at ~100× data
+    a bucket could outgrow 64 sub-splits). Build a synthetic corpus
+    whose planes are standard basis vectors, park 40k vectors in ONE
+    band-0 bucket (positive dims 0..3 -> need_bits = 9 > 6) with
+    random extension signs, and assert the real pipeline still lands
+    every scored sub-bucket under NEARDUP_CAP."""
+    import numpy as np
+
+    from rime_wanxiang_logger_spark.operators.similarity import (
+        NEARDUP_CAP,
+        _need_bits_int,
+        neardup_banded,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 180  # >= 48 + 12*9 so every extension plane slot exists
+    n_hot = 40_000
+    # planes: e_i + tiny noise -> sign bit for plane i == sign of dim i
+    # for every non-degenerate row; the noise keeps the 180 plane rows
+    # themselves from collapsing into one irreducible zero-dot bucket.
+    planes = np.eye(dim) + 1e-6 * rng.standard_normal((dim, dim))
+    hot = rng.standard_normal((n_hot, dim))
+    hot[:, 0:4] = np.abs(hot[:, 0:4]) + 0.1  # band 0 key pinned to 15
+    M = np.vstack([planes, hot])
+    pdf = __import__("pandas").DataFrame(
+        {
+            "vec_id": np.arange(len(M), dtype=np.int64),
+            "label": ["x"] * len(M),
+            "embedding": [row.astype(np.float64).tolist() for row in M],
+        }
+    )
+    out = str(tmp_path / "skew")
+    spark.createDataFrame(pdf).write.parquet(out + "/embeddings.parquet")
+
+    assert _need_bits_int(n_hot) == 9  # demands 3 bits over the old 6
+    banded = neardup_banded(spark, out)
+    from pyspark.sql import functions as F
+
+    mx = (
+        banded.groupBy("band_id", "band_key", "sub_key")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mx <= NEARDUP_CAP, mx
 
 
 def test_q84_overlap_matrix_no_gram_self_join(spark, sf_dir):
