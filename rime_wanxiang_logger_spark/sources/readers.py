@@ -162,8 +162,18 @@ def fanout(df: DataFrame, parts: int | None = None) -> DataFrame:
     the helper can never become a corpus-wide shuffle at 100 TB. The
     repartition only fires for under-split inputs (the single-row-group
     test files it exists for).
+
+    Stream-safe (r4, ADVICE r3): a streaming DataFrame has no
+    ``df.rdd`` (AnalysisException), but plain ``repartition`` IS
+    stream-legal — so streams take the unguarded repartition branch.
+    Micro-batches are small by construction, so the guard's only job
+    (avoiding a corpus-wide shuffle) doesn't apply there. This lets
+    batch helpers that call fanout (e.g. dedup._signatures) be reused
+    verbatim on streams instead of maintaining drift-prone copies.
     """
     n = parts or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.isStreaming:
+        return df.repartition(n)
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

@@ -399,11 +399,20 @@ def dedup_admit_stream(spark, new_docs: DataFrame, sf_dir: str) -> DataFrame:
 
     Possible only because the MinHash signature is a pure projection
     (operators/dedup._signatures, r3): stateless per-row HOFs apply to
-    streams unchanged, so the plan is project → explode bands →
-    STREAM-STATIC join against the persisted corpus band table →
-    per-doc aggregate. The static side is fixed at query start (the
-    nightly-refreshed band table in production); the only streaming
-    state is the complete-mode aggregate, keyed by the batch's docs.
+    streams unchanged — the BATCH helper runs verbatim on the stream
+    (fanout is stream-safe since r4, so no drift-prone copy) — and the
+    plan is project → explode bands → STREAM-STATIC join against the
+    persisted corpus band table → per-doc aggregate.
+
+    State contract (ADVICE r3): this query is bounded to ONE admission
+    batch per query start — the q86 batch semantics. The static side is
+    fixed at query start (the nightly-refreshed band table in
+    production), and both stores that grow with input — the
+    dropDuplicates pair state and the complete-mode aggregate — are
+    keyed by the admitted batch's docs, i.e. O(batch), not O(stream).
+    A perpetual admit service restarts the query per admission window
+    (when it also refreshes the band table); it must NOT feed this
+    query a genuinely unbounded stream.
 
     Batch-parity tested against q86 on the same staged files
     (tests/test_streaming.py).
@@ -414,7 +423,7 @@ def dedup_admit_stream(spark, new_docs: DataFrame, sf_dir: str) -> DataFrame:
     corpus_bands = _bands(
         _signatures(load_table(spark, sf_dir, "documents"))
     )
-    new_bands = _bands(_signatures_stream(new_docs))
+    new_bands = _bands(_signatures(new_docs))
     cand = (
         new_bands.alias("n")
         .join(
@@ -431,38 +440,6 @@ def dedup_admit_stream(spark, new_docs: DataFrame, sf_dir: str) -> DataFrame:
     return cand.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_cand"),
         F.min("partner").alias("first_partner"),
-    )
-
-
-def _signatures_stream(docs: DataFrame) -> DataFrame:
-    """dedup._signatures applied to a streaming docs relation — the
-    same projection expressions; separated only because the batch
-    helper wraps its input in ``fanout`` (a repartition, disallowed on
-    streaming relations)."""
-    from ..operators.dedup import (
-        _A,
-        _B,
-        _H32_SPARK,
-        _P,
-        _SHINGLES_SPARK,
-        N_HASHES,
-        SHINGLE_WORDS,
-    )
-
-    hs_expr = f"transform({_SHINGLES_SPARK}, sh -> ({_H32_SPARK}) % {_P})"
-    return (
-        docs.where(F.size(F.split("text", " ")) >= SHINGLE_WORDS)
-        .select("doc_id", F.expr(hs_expr).alias("hs"))
-        .select(
-            "doc_id",
-            *[
-                F.expr(
-                    f"array_min(transform(hs,"
-                    f" h -> ({_A[s]} * h + {_B[s]}) % {_P}))"
-                ).alias(f"h{s}")
-                for s in range(N_HASHES)
-            ],
-        )
     )
 
 
