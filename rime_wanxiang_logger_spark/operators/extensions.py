@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.stable import dsum, dsum_expr
 from ..sources.readers import load_table
+from .dedup import _CAND_CTE as _DEDUP_CAND_CTE, INCR_MOD, INCR_REM
 
 TUMBLE_HOURS = 6
 PRICE_BAND_WIDTH = 100_000.0
@@ -523,6 +524,45 @@ def q43_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q43_stream_hourly_sink")
 
 
+def q92_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q86's incremental-dedup admit pass executed as a Structured
+    Streaming job (streaming/twin.dedup_admit_stream) — the r3 VERDICT
+    asked for a driver-certified oracle row on this path; q43's
+    availableNow-drain pattern makes it registrable.
+
+    The new-doc batch (doc_id % INCR_MOD == INCR_REM, q86's contract)
+    streams from the documents parquet through the stream-static band
+    join against the standing corpus band table, drained into a
+    memory sink. The stream emits verdicts for COLLIDING docs only
+    (silent docs are admitted), so the oracle is q86's SQL restricted
+    to n_cand > 0, minus the derived is_unique flag.
+    """
+    from ..operators.dedup import INCR_MOD, INCR_REM
+    from ..sources.readers import load_table
+    from ..streaming.twin import dedup_admit_stream
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # file sources want a directory; glob-select the documents table
+        # (the read_events_stream pattern, streaming/twin.py)
+        .option("pathGlobFilter", "documents*.parquet")
+        .load(sf_dir)
+        .where((F.col("doc_id") % INCR_MOD) == F.lit(INCR_REM))
+    )
+    q = (
+        dedup_admit_stream(spark, stream, sf_dir)
+        .writeStream.format("memory")
+        .queryName("q92_dedup_admit_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q92_dedup_admit_sink")
+
+
 QUERIES = {
     "q34_tumbling_window": q34_tumbling_window,
     "q35_asof_join": q35_asof_join,
@@ -534,6 +574,7 @@ QUERIES = {
     "q41_topk_per_group": q41_topk_per_group,
     "q42_embedding_centroid": q42_embedding_centroid,
     "q43_stream_hourly": q43_stream_hourly,
+    "q92_dedup_admit": q92_dedup_admit,
 }
 
 _TUMBLE_S = TUMBLE_HOURS * 3600
@@ -638,4 +679,20 @@ ORACLE = {
         GROUP BY label, i
     """,
     "q43_stream_hourly": _HOURLY_SQL,
+    # q86's oracle restricted to colliding docs (the stream emits no
+    # row for silently-admitted docs) and to the three streamed columns.
+    "q92_dedup_admit": f"""
+        WITH {_DEDUP_CAND_CTE},
+        candn AS (
+          SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS partner
+          FROM bands n JOIN bands c
+            ON n.band = c.band AND n.bsig = c.bsig
+          WHERE n.doc_id % {INCR_MOD} = {INCR_REM}
+            AND c.doc_id <> n.doc_id
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cand,
+               MIN(partner) AS first_partner
+        FROM candn GROUP BY doc_id
+    """,
 }
