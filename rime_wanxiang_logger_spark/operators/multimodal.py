@@ -19,8 +19,10 @@ q51_frame_sample       binary payload → N sampled "frames" per item
                        SAMPLE_STRIDE-th frame is emitted with its
                        checksum)
 
-``decode_image_real`` is the production extension point: same
-signature, raises NotImplementedError unless PIL is importable.
+``make_pil_resize`` is the production extension point: the same batch
+shape and output schema as q87's fake body, with PIL doing the decode
+and thumbnail — capability-gated via ``has_pil()`` and contract-tested
+(tests/test_multimodal_contract.py, skipped where PIL is absent).
 """
 
 from __future__ import annotations
@@ -70,8 +72,13 @@ def make_fake_decode_batch():
                         lambda b: _hashlib.md5(b).hexdigest()
                     ),
                     "thumb_w": payload.map(lambda b: len(b) % 64 + 1),
+                    # first CODE POINT, not first byte: the oracle's
+                    # ascii(substring(text,1,1)) is code-point-based, so
+                    # a non-ASCII leading char must agree too (ADVICE r3)
                     "thumb_h": payload.map(
-                        lambda b: b[0] % 32 + 1 if len(b) else 0
+                        lambda b: ord(b.decode("utf-8")[0]) % 32 + 1
+                        if len(b)
+                        else 0
                     ),
                 }
             )
@@ -79,15 +86,70 @@ def make_fake_decode_batch():
     return decode
 
 
-def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Production decode path — requires an image library."""
+def has_pil() -> bool:
+    """Capability gate for the real decode bodies."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "image decode requires PIL; not available in this container"
-        ) from e
-    raise NotImplementedError("wire PIL decode here")  # pragma: no cover
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - container has no PIL
+        return False
+
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, src_w bigint, src_h bigint,"
+    " out_w bigint, out_h bigint, checksum string"
+)
+
+
+def make_pil_resize(box: int | None = None):
+    """REAL resize body for the q87 seam (capability-gated, r3 VERDICT
+    "Next round" #5): PIL decodes the payload as image bytes,
+    ``Image.thumbnail`` fits it into the box. Identical batch shape,
+    output schema (_RESIZE_SCHEMA) and checksum semantics as the fake
+    closure in q87_image_resize — the contract test
+    (tests/test_multimodal_contract.py) pins both bodies to the shared
+    contract and skips where PIL is absent (this container). The out
+    dims follow PIL's own aspect rounding (round-to-nearest per axis),
+    not the fake's floor — dims parity is with the REAL decoder's
+    semantics, which is the point of the seam.
+
+    Closure, like every Python-UDF entry point here (pickled by
+    value). The PIL import lives INSIDE the closure so shipping it to
+    executors only requires PIL there, not at plan-build time.
+    """
+
+    if box is None:
+        box = RESIZE_BOX  # defined below with the q87 fake
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+
+        import pandas as _pd
+        from PIL import Image as _Image
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "src_w", "src_h", "out_w", "out_h", "checksum",
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                img = _Image.open(_io.BytesIO(b))
+                w, h = img.size
+                img.thumbnail((box, box))
+                ow, oh = img.size
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["checksum"].append(_hashlib.md5(b).hexdigest())
+            yield _pd.DataFrame(rows)
+
+    return resize
 
 
 def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +260,8 @@ def q87_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payload = pdf["payload"]
             w = payload.map(lambda b: len(b) % 64 + 1)
-            h = payload.map(lambda b: b[0] % 32 + 1)
+            # first code point (== oracle's ascii()), not first byte
+            h = payload.map(lambda b: ord(b.decode("utf-8")[0]) % 32 + 1)
             s = [
                 min(1.0, box / float(wi), box / float(hi))
                 for wi, hi in zip(w, h)
