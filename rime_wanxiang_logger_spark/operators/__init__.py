@@ -126,7 +126,7 @@ _DRIVER_VERIFIED = frozenset({
     # policy as q43/q56.
     "q26_ann_topk",
     "q28_lang_id", "q29_text_quality", "q30_token_count",
-    "q31_fingerprint", "q32_multimodal_decode", "q33_sessionize",
+    "q31_fingerprint", "q33_sessionize",
     "q34_tumbling_window", "q35_asof_join", "q36_range_join",
     "q37_percentiles", "q38_cube", "q39_pivot", "q40_salted_agg",
     "q41_topk_per_group", "q42_embedding_centroid",
@@ -135,22 +135,28 @@ _DRIVER_VERIFIED = frozenset({
     # r3 driver round (CORRECTNESS_r03.json): all 50 checked rows green,
     # covering the full r3-changed set plus q01/q02. Promoted here so the
     # r4 cap lands on new/changed work only (VERDICT r3 "Next round" #1).
+    #
+    # r4 drops (plan/semantics changed this round — driver must
+    # re-certify, the q43/q56 r3 policy): q25/q72 (data-derived split
+    # budget + integer need_bits), q27 (packed signature fold), q66
+    # (EMBED_DIM constant), q32/q87 (first-codepoint decode), q91
+    # (forced-broadcast removal). q92_dedup_admit is new (never green).
     "q22_minhash_lsh", "q23_simhash", "q24_ngram_jaccard",
-    "q25_embedding_neardup", "q27_ann_lsh", "q43_stream_hourly",
+    "q43_stream_hourly",
     "q50_tpch_q5", "q51_frame_sample", "q52_winnowing",
     "q53_dedup_clusters", "q54_tpch_q17", "q55_tpch_q18",
     "q56_hash_split", "q57_stratified_sample", "q58_curation_funnel",
     "q59_latest_by_key", "q60_session_funnel", "q61_resample_gapfill",
     "q62_scd2_intervals", "q63_variant_extract", "q64_chunk_windows",
-    "q65_tpch_q21", "q66_embedding_quantize", "q67_rank_functions",
+    "q65_tpch_q21", "q67_rank_functions",
     "q68_tfidf", "q69_bigram_pmi", "q70_page_rank_replay", "q71_bm25",
-    "q72_semantic_dedup", "q73_source_mix", "q74_pack_sequences",
+    "q73_source_mix", "q74_pack_sequences",
     "q75_decontaminate", "q76_repetition_stats", "q77_rarity_score",
     "q78_inverted_index", "q79_pagerank", "q80_dup_span_coverage",
     "q81_profile_stats", "q82_cdc_merge", "q83_profile_sketch",
     "q84_source_overlap", "q85_leakfree_split", "q86_incremental_dedup",
-    "q87_image_resize", "q88_feature_extract", "q89_tpch_q2",
-    "q90_tpch_q16", "q91_integrity_audit",
+    "q88_feature_extract", "q89_tpch_q2",
+    "q90_tpch_q16",
 })
 
 _PKG_DIR = _Path(__file__).resolve().parent
