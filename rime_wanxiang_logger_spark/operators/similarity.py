@@ -332,16 +332,18 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, bands = NEARDUP_BAND_BITS, NEARDUP_BANDS
     cap = NEARDUP_CAP
 
-    def _collect_planes(n: int) -> list[list[float]]:
+    def _collect_planes(lo: int, hi: int) -> list[list[float]]:
         return [
             list(r["v"])
-            for r in v.where(F.col("vec_id") < n)
+            for r in v.where(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
             .orderBy("vec_id")
             .select("v")
             .collect()
         ]
 
-    base_planes = _collect_planes(NEARDUP_PLANES)
+    base_planes = _collect_planes(0, NEARDUP_PLANES)
 
     def _sign_matrix(np, M, planes):
         # Sign of the dot is summation-order-robust (a dot at exactly
@@ -392,10 +394,12 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # demands — grows log2 with bucket size, so any corpus scale stays
     # within the ≤CAP bound at a logarithmic plane-pool cost.
     ext_bits = max(needs.values(), default=0)
-    planes = (
-        _collect_planes(NEARDUP_PLANES + bands * ext_bits)
+    planes = base_planes + (
+        _collect_planes(
+            NEARDUP_PLANES, NEARDUP_PLANES + bands * ext_bits
+        )
         if ext_bits
-        else base_planes
+        else []
     )
     # Extension planes actually present in the corpus (tiny corpora may
     # not reach the full pool; then some bands split fewer levels).
