@@ -88,6 +88,12 @@ try:  # pragma: no cover
     _MODULES.append(maintenance)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import fuzzy
+
+    _MODULES.append(fuzzy)
+except ImportError:
+    pass
 
 
 # Round-1 driver CORRECTNESS verified exactly the first 50 registry

@@ -1,0 +1,146 @@
+"""Fuzzy-matching & language-model statistics (pipeline extensions).
+
+Two operators a large-scale training-data pipeline runs that the
+engine didn't yet cover:
+
+q93_edit_verify   edit-distance verification of the LSH-blocked
+                  candidate pairs — the character-level twin of q24's
+                  shingle-Jaccard verify. Near-dup candidates from the
+                  MinHash band join are re-scored with exact
+                  levenshtein distance + normalized similarity. Both
+                  engines ship the identical classic edit distance
+                  (unit-cost insert/delete/substitute), verified
+                  value-equal in tests.
+q94_trigram_lm    the classic n-gram language-model count job: trigram
+                  counts and conditional probabilities
+                  P(w3 | w1 w2) = c(w1w2w3) / c(w1w2·), with contexts
+                  summed from the trigram table itself and a min-count
+                  floor applied AFTER the probability (so rare
+                  continuations of common contexts keep exact
+                  denominators).
+
+Scale design:
+- q93 is verify-after-block only: levenshtein is O(|a|·|b|) per pair,
+  so it runs on the LINEAR candidate set the band join emits — never
+  corpus². The text join probes the corpus twice by doc_id (AQE
+  broadcasts the tiny pair side at test scale; co-partitioned shuffle
+  joins at 100 TB).
+- q94 is one Generate (per-row trigram array → explode) into one
+  map-side-combined groupBy on the trigram, then a whole-partition
+  window sum on the (w1, w2) context — the context table can be
+  billions of rows at web scale, so it is co-partitioned via the
+  window shuffle, never collected or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .dedup import _CAND_CTE, _candidate_pairs, _signatures
+
+TRIGRAM_MIN_COUNT = 5
+
+
+def q93_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked candidate pairs re-scored with exact edit distance.
+
+    Output per pair: levenshtein distance and normalized similarity
+    1 - d / max(len_a, len_b), rounded to 9 dp. The threshold decision
+    is left to the caller (q24 precedent: the verify stage emits
+    scores, the curation policy cuts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs))
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    d = F.levenshtein("text_a", "text_b").cast("bigint")
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            d.alias("edit_dist"),
+            F.round(
+                F.lit(1.0) - d / maxlen.cast("double"), 9
+            ).alias("edit_sim"),
+        )
+    )
+
+
+def q94_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model statistics over the corpus.
+
+    Single scan: per-row trigram structs built with one in-row
+    ``transform`` over the token array (docs under 3 tokens are
+    filtered BEFORE ``sequence`` — sequence(0, negative) would emit a
+    descending range, not an empty one), exploded once, counted with a
+    map-side-combined hash aggregate, contexts summed with an
+    unordered window over (w1, w2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3
+    )
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), i -> struct("
+                "element_at(t, i + 1) AS w1,"
+                " element_at(t, i + 2) AS w2,"
+                " element_at(t, i + 3) AS w3))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.w3")
+    counts = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ctx = W.partitionBy("w1", "w2")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(ctx), 9)
+        )
+        .where(F.col("n") >= TRIGRAM_MIN_COUNT)
+        .select("w1", "w2", "w3", "n", "p")
+    )
+
+
+QUERIES = {
+    "q93_edit_verify": q93_edit_verify,
+    "q94_trigram_lm": q94_trigram_lm,
+}
+
+ORACLE = {
+    "q93_edit_verify": f"""
+        WITH {_CAND_CTE}
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+               round(1.0 - levenshtein(a.text, b.text)
+                     / CAST(GREATEST(length(a.text), length(b.text))
+                            AS DOUBLE), 9) AS edit_sim
+        FROM cand c
+        JOIN documents a ON a.doc_id = c.doc_a
+        JOIN documents b ON b.doc_id = c.doc_b
+    """,
+    "q94_trigram_lm": f"""
+        WITH toks AS (
+          SELECT string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), tri AS (
+          SELECT t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+          FROM toks,
+               LATERAL unnest(generate_series(0, len(t) - 3)) AS g(i)
+        ), counts AS (
+          SELECT w1, w2, w3, COUNT(*) AS n FROM tri GROUP BY 1, 2, 3
+        )
+        SELECT w1, w2, w3, CAST(n AS BIGINT) AS n,
+               round(n / CAST(SUM(n) OVER (PARTITION BY w1, w2)
+                              AS DOUBLE), 9) AS p
+        FROM counts
+        QUALIFY n >= {TRIGRAM_MIN_COUNT}
+    """,
+}

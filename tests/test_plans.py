@@ -498,6 +498,35 @@ def test_q83_sketch_branch_has_no_expand(spark, sf_dir):
     assert all(r["apx_ok"] for r in rows), rows
 
 
+def test_q93_edit_verify_is_blocked_not_allpairs(spark, sf_dir):
+    """Edit-distance verify must score only the LSH-blocked candidate
+    set: no cartesian anywhere, and the levenshtein never runs against
+    a corpus×corpus join (the band join bounds it linearly)."""
+    from rime_wanxiang_logger_spark.operators.fuzzy import q93_edit_verify
+
+    df = q93_edit_verify(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    # band explode on each side of the candidate self-join, nothing
+    # else generates rows (no shingle/token explode in the verify)
+    assert op_count(df, "Generate") <= 2, plan
+    rows = df.collect()
+    assert rows and all(0.0 <= r["edit_sim"] <= 1.0 for r in rows)
+
+
+def test_q94_trigram_single_generate_one_agg_shuffle(spark, sf_dir):
+    """Trigram LM: per-row trigram arrays explode ONCE (never a
+    token-level self-join), one hash aggregate, one context window —
+    no join in the plan at all."""
+    from rime_wanxiang_logger_spark.operators.fuzzy import q94_trigram_lm
+
+    df = q94_trigram_lm(spark, sf_dir)
+    plan = explain_str(df)
+    assert op_count(df, "Generate") == 1, plan
+    assert "Join" not in plan, plan
+    assert op_count(df, "Window") == 1, plan
+
+
 def test_q91_no_forced_broadcast_on_parents(spark, sf_dir):
     """Integrity audit: parent key sets are fact-sized at 100 TB
     (orders/customer/part are billions of distinct keys), so q91 must
