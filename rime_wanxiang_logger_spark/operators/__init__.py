@@ -94,6 +94,12 @@ try:  # pragma: no cover
     _MODULES.append(fuzzy)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import mixture
+
+    _MODULES.append(mixture)
+except ImportError:
+    pass
 
 
 # Round-1 driver CORRECTNESS verified exactly the first 50 registry

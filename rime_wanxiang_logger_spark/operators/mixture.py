@@ -1,0 +1,159 @@
+"""Corpus-mixture planning & dup-graph diagnostics (pipeline
+extensions).
+
+q95_token_budget   temperature-weighted mixture allocation — the
+                   α-sampling policy multilingual LM training uses to
+                   keep head languages/sources from drowning the tail:
+                   per (lang, source) bin, weight ∝ tokens^α with
+                   α = 1/2, allocation = budget · w / Σw, sampling
+                   rate = min(1, alloc / tokens). All arithmetic is
+                   INTEGER-exact end to end (isqrt weights, integer
+                   Σw, floor allocation) so the oracle comparison is
+                   bit-stable — a float Σ over bins would be
+                   summation-order-dependent across engines.
+q96_degree_stats   degree histogram of the MinHash dup graph
+                   (candidate-pair partners per doc, zero-degree docs
+                   included) — the shape diagnostic that tells a dedup
+                   pipeline whether its blocking is exploding
+                   (heavy-tail degrees) before the quadratic verify
+                   stage pays for it.
+
+Scale design:
+- q95: one corpus scan → map-side-combined (lang, source) aggregate;
+  Σw via an unordered whole-relation window over the AGGREGATED bins
+  (bounded: langs × sources — driver-sized by construction, so the
+  single-partition window is safe at any corpus scale).
+- q96: reuses the banded candidate generation (linear posting lists),
+  degree via one count aggregate, zero-degree docs via an AQE-chosen
+  left join of the degree table onto the corpus keys (no forced
+  broadcast — degraded blocking makes that table fact-sized);
+  histogram is a second tiny aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .dedup import _CAND_CTE, _candidate_pairs, _signatures
+
+TOKEN_BUDGET = 100_000  # target tokens for the mixture at this SF
+# α = 1/2 temperature: weight = floor(sqrt(tokens)), exact in both
+# engines (sqrt of integers ≤ 2^53 is correctly rounded IEEE, floor
+# deterministic; 100 TB ≈ 2.5e13 tokens stays far under 2^53).
+_ISQRT = "CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT)"
+
+
+def q95_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) token-budget allocation under α=1/2
+    temperature sampling. Output: bin stats, integer token allocation,
+    and the 9-dp sampling rate a downstream Bernoulli pass would use
+    (q73's content-stable sampler consumes exactly such a rate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bins = (
+        docs.select(
+            "lang", "source", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn("w", F.expr(_ISQRT.format(t="n_tokens")))
+    )
+    # Σw via an UNORDERED unpartitioned window over the AGGREGATED bin
+    # table (bounded: langs × sources, never corpus-sized) — one corpus
+    # scan total, vs. the crossJoin-with-agg form which recomputes the
+    # whole bin aggregate lineage for the 1-row side. The engine-wide
+    # guard bans only ORDERED unpartitioned windows (single-task
+    # sorts); a whole-relation sum over a driver-sized relation is the
+    # declared-tiny exception.
+    return (
+        bins.withColumn("w_sum", F.sum("w").over(W.partitionBy()))
+        .withColumn(
+            "alloc_tokens",
+            F.floor(F.lit(TOKEN_BUDGET) * F.col("w") / F.col("w_sum"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("alloc_tokens") / F.col("n_tokens"),
+                ),
+                9,
+            ),
+        )
+        .select(
+            "lang", "source", "n_docs", "n_tokens",
+            "alloc_tokens", "sample_rate",
+        )
+    )
+
+
+def q96_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the dup graph: for each degree (number of
+    distinct band-collision partners, 0 included), how many docs have
+    it. Degrees count BOTH directions of the undirected pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs))
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    # No forced broadcast (the q91 lesson): the colliding-doc degree
+    # table is fact-sized when blocking degrades — AQE broadcasts it
+    # while small and shuffles when it isn't.
+    with_zero = (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return with_zero.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+QUERIES = {
+    "q95_token_budget": q95_token_budget,
+    "q96_degree_stats": q96_degree_stats,
+}
+
+ORACLE = {
+    "q95_token_budget": f"""
+        WITH bins AS (
+          SELECT lang, source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY lang, source
+        ), w AS (
+          SELECT *, {_ISQRT.format(t="n_tokens")} AS w FROM bins
+        ), tot AS (
+          SELECT CAST(SUM(w) AS BIGINT) AS w_sum FROM w
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(floor({TOKEN_BUDGET} * w / CAST(w_sum AS DOUBLE))
+                    AS BIGINT) AS alloc_tokens,
+               round(LEAST(1.0,
+                     CAST(floor({TOKEN_BUDGET} * w
+                                / CAST(w_sum AS DOUBLE)) AS BIGINT)
+                     / CAST(n_tokens AS DOUBLE)), 9) AS sample_rate
+        FROM w, tot
+    """,
+    "q96_degree_stats": f"""
+        WITH {_CAND_CTE},
+        ends AS (
+          SELECT doc_a AS doc_id FROM cand
+          UNION ALL
+          SELECT doc_b FROM cand
+        ), deg AS (
+          SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id
+        )
+        SELECT CAST(COALESCE(g.degree, 0) AS BIGINT) AS degree,
+               COUNT(*) AS n_docs
+        FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id
+        GROUP BY 1
+    """,
+}

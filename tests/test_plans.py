@@ -527,6 +527,43 @@ def test_q94_trigram_single_generate_one_agg_shuffle(spark, sf_dir):
     assert op_count(df, "Window") == 1, plan
 
 
+def test_q95_token_budget_single_scan_no_window(spark, sf_dir):
+    """Mixture allocation: ONE corpus scan feeding the bin aggregate,
+    the Σw side an unordered window over the aggregated bins — no
+    second corpus pass. Allocations must respect the budget and rates
+    be valid."""
+    from rime_wanxiang_logger_spark.operators.mixture import (
+        TOKEN_BUDGET,
+        q95_token_budget,
+    )
+
+    df = q95_token_budget(spark, sf_dir)
+    plan = explain_str(df)
+    # the Σw window runs over the AGGREGATED bins (unordered — the
+    # banned shape is ordered-unpartitioned), after the one corpus scan
+    assert op_count(df, "Window") == 1, plan
+    assert len(read_schema_columns(df)) == 1, plan  # one documents scan
+    rows = df.collect()
+    assert sum(r["alloc_tokens"] for r in rows) <= TOKEN_BUDGET
+    assert all(0.0 <= r["sample_rate"] <= 1.0 for r in rows)
+
+
+def test_q96_degree_stats_no_forced_broadcast(spark, sf_dir):
+    """Degree histogram: the colliding-doc degree table is fact-sized
+    when blocking degrades, so the zero-degree left join must carry no
+    forced hint (the q91 rule); total docs must be conserved."""
+    from rime_wanxiang_logger_spark.operators.mixture import (
+        q96_degree_stats,
+    )
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    df = q96_degree_stats(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in df.collect()) == n_docs
+
+
 def test_q91_no_forced_broadcast_on_parents(spark, sf_dir):
     """Integrity audit: parent key sets are fact-sized at 100 TB
     (orders/customer/part are billions of distinct keys), so q91 must
