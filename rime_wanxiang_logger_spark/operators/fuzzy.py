@@ -11,6 +11,10 @@ q93_edit_verify   edit-distance verification of the LSH-blocked
                   engines ship the identical classic edit distance
                   (unit-cost insert/delete/substitute), verified
                   value-equal in tests.
+q97_containment   asymmetric shingle containment |A∩B| / |A| over the
+                  same candidate set — the subsumption signal
+                  (quote / excerpt / boilerplate inclusion) symmetric
+                  Jaccard can't see.
 q94_trigram_lm    the classic n-gram language-model count job: trigram
                   counts and conditional probabilities
                   P(w3 | w1 w2) = c(w1w2w3) / c(w1w2·), with contexts
@@ -37,7 +41,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.readers import load_table
-from .dedup import _CAND_CTE, _candidate_pairs, _signatures
+from .dedup import (
+    _CAND_CTE,
+    _H32_SPARK,
+    _candidate_pairs,
+    _shingled,
+    _signatures,
+)
 
 TRIGRAM_MIN_COUNT = 5
 
@@ -109,9 +119,60 @@ def q94_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment for the LSH candidate pairs:
+    C(A→B) = |A∩B| / |A| and C(B→A) = |A∩B| / |B| over the hashed
+    shingle sets. Symmetric Jaccard (q24) misses subsumption — a short
+    doc quoted whole inside a long one scores low Jaccard but
+    containment ≈ 1 from the short side; this is the dedup signal for
+    quote/excerpt/boilerplate-inclusion removal.
+
+    Same scale shape as q24 (verify-after-block, intersection joined
+    on the 32-bit shingle hash, deliberately un-checkpointed — see
+    q24's A/B note): work is linear in the candidate set, never
+    corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs))
+    sh = (
+        _shingled(docs)
+        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
+    inter = (
+        pairs.join(sha, "doc_a")
+        .join(shb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    n_i = F.coalesce("n_inter", F.lit(0))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_i.alias("n_inter"),
+            (n_i / F.col("n_a")).alias("containment_a"),
+            (n_i / F.col("n_b")).alias("containment_b"),
+        )
+    )
+
+
 QUERIES = {
     "q93_edit_verify": q93_edit_verify,
     "q94_trigram_lm": q94_trigram_lm,
+    "q97_containment": q97_containment,
 }
 
 ORACLE = {
@@ -125,6 +186,28 @@ ORACLE = {
         FROM cand c
         JOIN documents a ON a.doc_id = c.doc_a
         JOIN documents b ON b.doc_id = c.doc_b
+    """,
+    "q97_containment": f"""
+        WITH {_CAND_CTE},
+        dsh AS (SELECT DISTINCT doc_id, h FROM hashed_sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN dsh a ON a.doc_id = c.doc_a
+          JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+               COALESCE(i.n_inter, 0) / CAST(na.n_sh AS DOUBLE)
+                 AS containment_a,
+               COALESCE(i.n_inter, 0) / CAST(nb.n_sh AS DOUBLE)
+                 AS containment_b
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
     """,
     "q94_trigram_lm": f"""
         WITH toks AS (

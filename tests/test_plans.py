@@ -564,6 +564,25 @@ def test_q96_degree_stats_no_forced_broadcast(spark, sf_dir):
     assert sum(r["n_docs"] for r in df.collect()) == n_docs
 
 
+def test_q97_containment_dominates_jaccard(spark, sf_dir):
+    """Containment is the subsumption signal: for every candidate pair
+    |A∩B|/|A| ≥ |A∩B|/|A∪B|, with equality only when A ⊆ B — so each
+    containment must be in [0,1] and ≥ the pair's q24 Jaccard."""
+    from rime_wanxiang_logger_spark.operators.dedup import q24_ngram_jaccard
+    from rime_wanxiang_logger_spark.operators.fuzzy import q97_containment
+
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q24_ngram_jaccard(spark, sf_dir).collect()
+    }
+    rows = q97_containment(spark, sf_dir).collect()
+    assert rows and set(jac) == {(r["doc_a"], r["doc_b"]) for r in rows}
+    for r in rows:
+        j = jac[(r["doc_a"], r["doc_b"])]
+        assert 0.0 <= j <= r["containment_a"] <= 1.0, r
+        assert j <= r["containment_b"] <= 1.0, r
+
+
 def test_q91_no_forced_broadcast_on_parents(spark, sf_dir):
     """Integrity audit: parent key sets are fact-sized at 100 TB
     (orders/customer/part are billions of distinct keys), so q91 must
