@@ -17,6 +17,11 @@ q96_degree_stats   degree histogram of the MinHash dup graph
                    pipeline whether its blocking is exploding
                    (heavy-tail degrees) before the quadratic verify
                    stage pays for it.
+q98_survivor_policy  per-doc KEEP/DROP verdicts: cluster membership
+                   (singletons included) + policy survivor (longest
+                   doc, ties to smallest id) — the selection stage
+                   that turns q53's clusters into an actionable
+                   dedup decision.
 
 Scale design:
 - q95: one corpus scan → map-side-combined (lang, source) aggregate;
@@ -115,9 +120,63 @@ def q96_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-survivor selection — the KEEP/DROP verdict stage that
+    completes the dedup pipeline (detect → cluster → select → emit):
+    every doc gets its cluster (singletons are their own), the
+    cluster's survivor under the curation policy "longest doc wins,
+    ties to the smallest doc_id", and the keep flag.
+
+    Scale shape: the pair graph reuses q53's checkpointed-signature CC
+    closure; the survivor pick is ONE struct-min aggregate per cluster
+    (the q82 MERGE idiom — no window, no sort) and the verdict join is
+    cluster-keyed with no forced broadcast (cluster tables are
+    fact-sized at 100 TB)."""
+    from .pipeline import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
+    labels = connected_components(pairs)
+    mem = (
+        docs.select("doc_id", "n_chars")
+        .join(
+            labels.select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    surv = (
+        mem.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("s")
+        )
+        .select("cluster_id", F.col("s.d").alias("survivor_id"))
+    )
+    return mem.join(surv, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
+    )
+
+
 QUERIES = {
     "q95_token_budget": q95_token_budget,
     "q96_degree_stats": q96_degree_stats,
+    "q98_survivor_policy": q98_survivor_policy,
 }
 
 ORACLE = {
@@ -141,6 +200,38 @@ ORACLE = {
                                 / CAST(w_sum AS DOUBLE)) AS BIGINT)
                      / CAST(n_tokens AS DOUBLE)), 9) AS sample_rate
         FROM w, tot
+    """,
+    "q98_survivor_policy": f"""
+        WITH RECURSIVE {_CAND_CTE},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION
+          SELECT doc_b, doc_a FROM cand
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+          SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ),
+        mem AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ),
+        surv AS (
+          SELECT cluster_id,
+                 (ARRAY_AGG(doc_id ORDER BY n_chars DESC, doc_id ASC))[1]
+                   AS survivor_id
+          FROM mem GROUP BY cluster_id
+        )
+        SELECT m.doc_id, m.cluster_id, s.survivor_id,
+               m.doc_id = s.survivor_id AS keep
+        FROM mem m JOIN surv s USING (cluster_id)
     """,
     "q96_degree_stats": f"""
         WITH {_CAND_CTE},

@@ -583,6 +583,35 @@ def test_q97_containment_dominates_jaccard(spark, sf_dir):
         assert j <= r["containment_b"] <= 1.0, r
 
 
+def test_q98_survivor_policy_consistent_with_q53(spark, sf_dir):
+    """Exactly ONE survivor per cluster, survivors keep themselves,
+    and the multi-doc clusters agree with q53's component labels
+    (q98 additionally covers singletons)."""
+    from collections import Counter
+
+    from rime_wanxiang_logger_spark.operators.mixture import (
+        q98_survivor_policy,
+    )
+    from rime_wanxiang_logger_spark.operators.pipeline import (
+        q53_dedup_clusters,
+    )
+
+    rows = q98_survivor_policy(spark, sf_dir).collect()
+    by_cluster = Counter(r["cluster_id"] for r in rows)
+    keeps = [r for r in rows if r["keep"]]
+    assert len(keeps) == len(by_cluster)  # one survivor per cluster
+    assert all(r["doc_id"] == r["survivor_id"] for r in keeps)
+    q53 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q53_dedup_clusters(spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r["doc_id"] in q53:  # docs with >=1 candidate pair
+            assert r["cluster_id"] == q53[r["doc_id"]], r
+        else:  # singleton: own cluster, kept
+            assert r["cluster_id"] == r["doc_id"] and r["keep"], r
+
+
 def test_q91_no_forced_broadcast_on_parents(spark, sf_dir):
     """Integrity audit: parent key sets are fact-sized at 100 TB
     (orders/customer/part are billions of distinct keys), so q91 must
