@@ -22,6 +22,10 @@ q98_survivor_policy  per-doc KEEP/DROP verdicts: cluster membership
                    doc, ties to smallest id) — the selection stage
                    that turns q53's clusters into an actionable
                    dedup decision.
+q99_boilerplate_ngrams  corpus-level repeated-gram detection (df and
+                   source-spread thresholds) — the nav/footer/
+                   disclaimer stripping signal a cleaning pass runs
+                   before training.
 
 Scale design:
 - q95: one corpus scan → map-side-combined (lang, source) aggregate;
@@ -39,8 +43,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.readers import load_table
-from .dedup import _CAND_CTE, _candidate_pairs, _signatures
+from ..sources.readers import fanout, load_table
+from .dedup import (
+    _CAND_CTE,
+    _SHINGLES_DUCK,
+    _SHINGLES_SPARK,
+    _candidate_pairs,
+    _signatures,
+)
 
 TOKEN_BUDGET = 100_000  # target tokens for the mixture at this SF
 # α = 1/2 temperature: weight = floor(sqrt(tokens)), exact in both
@@ -173,10 +183,59 @@ def q98_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILER_MIN_DF = 5  # gram must appear in >= this many docs...
+BOILER_MIN_SOURCES = 2  # ...spanning >= this many sources
+
+
+def q99_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: word 3-grams (the dedup
+    shingle definition, shared with q22 so one gram vocabulary serves
+    both) that recur across many documents AND multiple sources — the
+    navigation/footer/disclaimer text a cleaning pass strips before
+    training. Output per flagged gram: document frequency, source
+    count, and df as a fraction of the corpus.
+
+    Scale shape: one explode of the per-row shingle array → per-doc
+    distinct → TWO-LEVEL aggregate — (gram, source) partials first,
+    then per-gram totals — so source counting never pays a
+    countDistinct Expand over the exploded gram volume. The corpus
+    size for df_frac is a 1-row broadcast (constant model parameter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        fanout(docs)
+        .select(
+            "doc_id", "source", F.explode(F.expr(_SHINGLES_SPARK)).alias("g")
+        )
+        .distinct()  # a doc counts once per gram
+    )
+    by_src = grams.groupBy("g", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_src")
+    )
+    per_gram = by_src.groupBy("g").agg(
+        F.sum("n_docs_src").alias("df"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1 row
+    return (
+        per_gram.where(
+            (F.col("df") >= BOILER_MIN_DF)
+            & (F.col("n_sources") >= BOILER_MIN_SOURCES)
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "g",
+            "df",
+            "n_sources",
+            F.round(F.col("df") / F.col("n_docs"), 9).alias("df_frac"),
+        )
+    )
+
+
 QUERIES = {
     "q95_token_budget": q95_token_budget,
     "q96_degree_stats": q96_degree_stats,
     "q98_survivor_policy": q98_survivor_policy,
+    "q99_boilerplate_ngrams": q99_boilerplate_ngrams,
 }
 
 ORACLE = {
@@ -232,6 +291,23 @@ ORACLE = {
         SELECT m.doc_id, m.cluster_id, s.survivor_id,
                m.doc_id = s.survivor_id AS keep
         FROM mem m JOIN surv s USING (cluster_id)
+    """,
+    "q99_boilerplate_ngrams": f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, source, unnest({_SHINGLES_DUCK}) AS g
+          FROM documents
+        ), by_src AS (
+          SELECT g, source, COUNT(*) AS n_docs_src
+          FROM grams GROUP BY g, source
+        ), per_gram AS (
+          SELECT g, CAST(SUM(n_docs_src) AS BIGINT) AS df,
+                 COUNT(*) AS n_sources
+          FROM by_src GROUP BY g
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT g, df, n_sources,
+               round(df / CAST(n_docs AS DOUBLE), 9) AS df_frac
+        FROM per_gram, n
+        WHERE df >= {BOILER_MIN_DF} AND n_sources >= {BOILER_MIN_SOURCES}
     """,
     "q96_degree_stats": f"""
         WITH {_CAND_CTE},

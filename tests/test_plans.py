@@ -612,6 +612,28 @@ def test_q98_survivor_policy_consistent_with_q53(spark, sf_dir):
             assert r["cluster_id"] == r["doc_id"] and r["keep"], r
 
 
+def test_q99_boilerplate_two_level_no_expand(spark, sf_dir):
+    """Source counting must go through the two-level aggregate —
+    (gram, source) partials then per-gram totals — never a
+    countDistinct Expand over the exploded gram volume; one gram
+    explode total."""
+    from rime_wanxiang_logger_spark.operators.mixture import (
+        BOILER_MIN_DF,
+        BOILER_MIN_SOURCES,
+        q99_boilerplate_ngrams,
+    )
+
+    df = q99_boilerplate_ngrams(spark, sf_dir)
+    plan = explain_str(df)
+    assert op_count(df, "Expand") == 0, plan
+    assert op_count(df, "Generate") == 1, plan
+    rows = df.collect()
+    assert rows and all(
+        r["df"] >= BOILER_MIN_DF and r["n_sources"] >= BOILER_MIN_SOURCES
+        for r in rows
+    )
+
+
 def test_q91_no_forced_broadcast_on_parents(spark, sf_dir):
     """Integrity audit: parent key sets are fact-sized at 100 TB
     (orders/customer/part are billions of distinct keys), so q91 must
