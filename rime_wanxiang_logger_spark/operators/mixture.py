@@ -195,18 +195,19 @@ def q99_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     training. Output per flagged gram: document frequency, source
     count, and df as a fraction of the corpus.
 
-    Scale shape: one explode of the per-row shingle array → per-doc
-    distinct → TWO-LEVEL aggregate — (gram, source) partials first,
-    then per-gram totals — so source counting never pays a
-    countDistinct Expand over the exploded gram volume. The corpus
-    size for df_frac is a 1-row broadcast (constant model parameter)."""
+    Scale shape: per-doc gram dedup happens IN-ROW (``array_distinct``
+    on the shingle array before the explode — duplicate (doc, gram)
+    rows can only arise within one document, so a corpus-wide
+    ``distinct`` shuffle would be pure waste), then one explode → a
+    TWO-LEVEL aggregate — (gram, source) partials first, then per-gram
+    totals — so source counting never pays a countDistinct Expand over
+    the exploded gram volume. The corpus size for df_frac is a 1-row
+    broadcast (constant model parameter)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        fanout(docs)
-        .select(
-            "doc_id", "source", F.explode(F.expr(_SHINGLES_SPARK)).alias("g")
-        )
-        .distinct()  # a doc counts once per gram
+    grams = fanout(docs).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("g"),
     )
     by_src = grams.groupBy("g", "source").agg(
         F.count(F.lit(1)).alias("n_docs_src")
@@ -294,7 +295,8 @@ ORACLE = {
     """,
     "q99_boilerplate_ngrams": f"""
         WITH grams AS (
-          SELECT DISTINCT doc_id, source, unnest({_SHINGLES_DUCK}) AS g
+          SELECT doc_id, source,
+                 unnest(list_distinct({_SHINGLES_DUCK})) AS g
           FROM documents
         ), by_src AS (
           SELECT g, source, COUNT(*) AS n_docs_src

@@ -627,6 +627,11 @@ def test_q99_boilerplate_two_level_no_expand(spark, sf_dir):
     plan = explain_str(df)
     assert op_count(df, "Expand") == 0, plan
     assert op_count(df, "Generate") == 1, plan
+    # per-doc gram dedup is IN-ROW (array_distinct before explode):
+    # fanout + the two aggregate exchanges + the 1-row corpus count
+    # remain — no corpus-wide distinct shuffle of the exploded volume
+    # (which would make it 5)
+    assert shuffle_count(df) <= 4, plan
     rows = df.collect()
     assert rows and all(
         r["df"] >= BOILER_MIN_DF and r["n_sources"] >= BOILER_MIN_SOURCES
