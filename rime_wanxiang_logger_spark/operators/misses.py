@@ -101,6 +101,44 @@ def export_misses_csv(df: DataFrame, out_path: str) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: The exported report's canonical column layout, used POSITIONALLY on
+#: re-ingest (K2 closes the loop: a user migrating off the reference
+#: re-ingests its utf-8-sig exports, cli.py:351-352). Positional schema
+#: matching sidesteps both hazards of that file format: the UTF-8 BOM
+#: glued to the first header cell, and the Chinese header names.
+REPORT_SCHEMA = (
+    "event_id bigint, user_input string, actual_choice string,"
+    " predicted_rank int, selected_rank int, err_freq bigint,"
+    " report_pos int, _corrupt_record string"
+)
+
+
+def read_misses_csv(spark: SparkSession, path: str) -> DataFrame:
+    """K2 re-ingest: read a misses-report CSV (this module's
+    :func:`export_misses_csv` output, or the reference CLI's own
+    ``export-misses`` file — same layout) back into the canonical
+    ASCII-named report schema.
+
+    Tolerant like the JSONL source (T5): PERMISSIVE mode quarantines
+    malformed lines into ``_corrupt_record`` instead of failing the
+    read; the header row (BOM and all) is skipped, columns bind by
+    position against REPORT_SCHEMA.
+
+    Same Spark restriction as the raw JSONL read: a plan whose only
+    referenced column is ``_corrupt_record`` raises
+    UNSUPPORTED_FEATURE — quarantine-only analytics must ``cache()``
+    first or go through a parquet hop (readers.ingest_rime_jsonl
+    precedent).
+    """
+    return (
+        spark.read.schema(REPORT_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
 QUERIES = {"q04_export_misses": q04_export_misses}
 
 ORACLE = {

@@ -118,3 +118,49 @@ def test_ingest_observation_piggybacks_on_first_action(spark, tmp_path):
     assert got["n_rows"] == len(GOOD) + len(BAD)
     assert got["n_corrupt"] == len(BAD)
     assert got["n_missing_ts"] == 0
+
+
+def test_misses_csv_roundtrip(spark, sf_dir, tmp_path):
+    """K2 closes the loop: the BOM'd Chinese-header CSV this engine
+    exports (same layout as the reference CLI's export-misses file)
+    must re-ingest into the exact rows that produced it — positional
+    schema binding sidesteps the BOM-glued first header."""
+    from rime_wanxiang_logger_spark.operators.misses import (
+        export_misses_csv,
+        q04_export_misses,
+        read_misses_csv,
+    )
+
+    out = str(tmp_path / "misses.csv")
+    src = q04_export_misses(spark, sf_dir)
+    export_misses_csv(src, out)
+    with open(out, "rb") as f:
+        assert f.read(3) == b"\xef\xbb\xbf"  # BOM survived the sink
+    # cache() lifts Spark's corrupt-column-only query restriction
+    back = read_misses_csv(spark, out).cache()
+    assert back.where(F.col("_corrupt_record").isNotNull()).count() == 0
+    cols = [c for c in back.columns if c != "_corrupt_record"]
+    want = {tuple(str(v) for v in r) for r in src.select(*cols).collect()}
+    got = {tuple(str(v) for v in r) for r in back.select(*cols).collect()}
+    assert got == want and want
+
+
+def test_misses_csv_quarantines_malformed(spark, sf_dir, tmp_path):
+    """A torn/garbage line in a re-ingested report lands in
+    _corrupt_record (the T5 contract), never fails the read, and
+    leaves the good rows intact."""
+    from rime_wanxiang_logger_spark.operators.misses import (
+        export_misses_csv,
+        q04_export_misses,
+        read_misses_csv,
+    )
+
+    out = str(tmp_path / "misses.csv")
+    src = q04_export_misses(spark, sf_dir)
+    export_misses_csv(src, out)
+    n_rows = src.count()
+    with open(out, "a", encoding="utf-8") as f:
+        f.write('not,a,valid,row,at,all,x,y,z,"unclosed\n')
+    back = read_misses_csv(spark, out).cache()
+    assert back.count() == n_rows + 1
+    assert back.where(F.col("_corrupt_record").isNotNull()).count() == 1
