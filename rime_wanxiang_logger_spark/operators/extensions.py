@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..functions.stable import dsum, dsum_expr
 from ..sources.readers import load_table
 from .dedup import _CAND_CTE as _DEDUP_CAND_CTE, INCR_MOD, INCR_REM
+from .windows import SESSION_GAP_SECONDS
 
 TUMBLE_HOURS = 6
 PRICE_BAND_WIDTH = 100_000.0
@@ -563,6 +564,33 @@ def q92_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q92_dedup_admit_sink")
 
 
+def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 sessionization executed through Structured Streaming —
+    ``F.session_window`` with the q33 gap, drained availableNow into a
+    complete-mode memory sink (the q43/q92 registration pattern).
+
+    q33 is the batch lag+cumsum formulation of the same sessions; this
+    row certifies the STREAMING merge-on-overlap implementation against
+    an independent SQL oracle (islands flagged with ``diff >= gap``,
+    matching session_window's boundary rule — see
+    streaming/twin.session_report_stream). Complete mode because the
+    oracle needs every session; the unbounded form is watermark +
+    append.
+    """
+    from ..streaming.twin import read_events_stream, session_report_stream
+
+    q = (
+        session_report_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("q100_stream_sessions_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q100_stream_sessions_sink")
+
+
 QUERIES = {
     "q34_tumbling_window": q34_tumbling_window,
     "q35_asof_join": q35_asof_join,
@@ -575,6 +603,7 @@ QUERIES = {
     "q42_embedding_centroid": q42_embedding_centroid,
     "q43_stream_hourly": q43_stream_hourly,
     "q92_dedup_admit": q92_dedup_admit,
+    "q100_stream_sessions": q100_stream_sessions,
 }
 
 _TUMBLE_S = TUMBLE_HOURS * 3600
@@ -694,5 +723,35 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_cand,
                MIN(partner) AS first_partner
         FROM candn GROUP BY doc_id
+    """,
+    # Islands flagged with diff >= gap (session_window's merge-on-
+    # OVERLAP boundary rule), brackets in unix micros; end = last event
+    # + gap, exactly session_window's end.
+    "q100_stream_sessions": f"""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, ts_us,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w
+                         >= {SESSION_GAP_SECONDS * 1_000_000} THEN 1
+                 ELSE 0 END AS is_new
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), sess AS (
+          SELECT user_id, ts_us,
+            SUM(is_new) OVER (
+              PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) + {SESSION_GAP_SECONDS * 1_000_000}
+                 AS session_end_us,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
     """,
 }

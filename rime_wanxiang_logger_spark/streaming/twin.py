@@ -118,6 +118,42 @@ def session_window_stream(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def session_report_stream(events: DataFrame) -> DataFrame:
+    """Full T1 session report on the stream: per merged session its
+    user, bracket (unix micros, engine-agnostic like batch q33), and
+    event count. ``session_window_stream`` above keeps the original
+    minimal (user, n_events) shape its parity test pins; this is the
+    registrable q100 form.
+
+    Boundary semantics: Spark merges two session windows only when
+    they OVERLAP (next start < current end), so a gap of EXACTLY the
+    session timeout starts a new session — the oracle's island flag is
+    therefore ``diff >= gap``, not q33's ``>`` (the batch query keeps
+    its own documented convention; with microsecond timestamps the
+    boundary tie is measure-zero, but the oracle should match by
+    construction, not by luck).
+
+    No watermark: the registered q100 drains a bounded backfill with
+    trigger(availableNow) in complete mode, where state is the session
+    table itself. The unbounded production form adds
+    ``withWatermark`` + append mode (session_window_stream's test
+    shows the pattern) so closed sessions evict.
+    """
+    gap = f"{SESSION_GAP_SECONDS} seconds"
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            us("sw.start").alias("session_start_us"),
+            us("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def stateful_asof_stream(events: DataFrame) -> DataFrame:
     """T2/T4: per-user last-state carry as explicit streaming state.
 
