@@ -100,6 +100,12 @@ try:  # pragma: no cover
     _MODULES.append(mixture)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import policy
+
+    _MODULES.append(policy)
+except ImportError:
+    pass
 
 
 # Round-1 driver CORRECTNESS verified exactly the first 50 registry

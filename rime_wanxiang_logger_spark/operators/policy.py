@@ -1,0 +1,445 @@
+"""Curation-policy pack 3: scoring, scrubbing, calibration (pipeline
+extensions — no reference citation; SURVEY §2.11f).
+
+q101_lm_doc_score   per-document fluency score under the corpus's own
+                    empirical trigram LM (q94's model applied back to
+                    the corpus): mean P(w3 | w1 w2) over the doc's
+                    trigrams. The classic model-based quality filter —
+                    docs whose continuations the corpus finds
+                    improbable (gibberish, shredded text) score low.
+q102_pii_scrub      sensitive-token scrubbing audit: digit-run
+                    detection + redaction over the events props JSON,
+                    rolled up per event type — the pattern-scrub stage
+                    every compliance pipeline runs before training,
+                    with the redaction byte-count as the audit proof.
+q103_lsh_calibration  estimator calibration for the MinHash plane: at
+                    each signature-agreement level, the mean EXACT
+                    Jaccard of the candidate pairs — the measured
+                    answer to "what does est_jaccard = 6/8 really
+                    mean?", which is how a pipeline picks its band
+                    threshold (q22 emits the estimate, q24 the truth;
+                    this closes the loop).
+q104_length_trim    per-language exact p5/p95 length bounds + trim
+                    counts — the tail-clipping quality filter, computed
+                    scale-safely (see below).
+q105_winnow_overlap partial-overlap candidate pairs from q52's
+                    winnowing fingerprints — detects copied paragraphs
+                    inside otherwise-different docs, the case whole-doc
+                    MinHash dilutes below threshold. q52 emits the
+                    fingerprints; this is their consumer.
+
+Scale design:
+- q101: one explode, then BOTH corpus counts — c(w1,w2,w3) and
+  c(w1,w2·) — from a SINGLE hash exchange on (w1, w2): the trigram
+  count uses a RANGE CURRENT ROW frame ordered by w3 (peer count ==
+  group count), the context count the unordered whole-partition frame.
+  Per-trigram probabilities are integer fixed-point (floor(1e9·n/ctx)
+  in BIGINT — exact `div`, never a float sum), so the per-doc aggregate
+  is an exact integer sum in any partial order; ONE final IEEE division
+  renders the score. Two shuffles total (context window + per-doc agg),
+  both on keys whose cardinality grows with the corpus.
+- q102: pure projection + map-side-combined aggregate on a tiny key —
+  single scan, JVM regex, no shuffle beyond the final rollup.
+- q103: verify-after-block everywhere — agreement from the persisted
+  signature table (q22's shape), exact Jaccard only for band-collision
+  candidates (q24's shape), fixed-point sums so the per-level mean is
+  an exact integer until the final division.
+- q104: the naive exact-percentile (ordered window over docs) is a
+  per-language fact-scale sort; instead aggregate to the (lang,
+  n_chars) VALUE HISTOGRAM first — bounded by the length domain, not
+  the corpus — and take cumulative counts over that. One corpus scan;
+  everything after is driver-sized.
+- q105: posting-list self-join with a document-frequency cap
+  (FP_DF_CAP, q78's bounded-postings rule): a fingerprint shared by
+  half the corpus is boilerplate, not overlap signal, and would make
+  the join quadratic in its posting list. Work is O(Σ min(df, cap)²)
+  — linear in practice, never corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..sources.readers import load_table
+from .dedup import (
+    N_HASHES,
+    WIN_W,
+    _CAND_CTE,
+    _KGRAM_HASHES_DUCK,
+    _candidate_pairs,
+    _signatures,
+    q52_winnowing,
+)
+
+#: fixed-point scale for probability sums (q95's integer-exact rule:
+#: float sums are partial-order-dependent across engines; BIGINT sums
+#: are not). 1e9 · count stays far under 2^63 at any corpus size.
+_FP = 1_000_000_000
+
+PII_RUN_PAT = "[0-9]{2,}"  # digit runs (ids / phones / account nos)
+PII_LONG_PAT = "[0-9]{4,}"  # long runs — the high-confidence subset
+PII_MASK = "#"
+
+TRIM_LO_PCT = 5
+TRIM_HI_PCT = 95
+
+FP_DF_CAP = 20  # winnow fingerprint posting-list cap (q78's rule)
+MIN_SHARED_FPS = 5  # pair must share >= this many fingerprints
+
+
+def q101_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean trigram-LM probability per document, integer-exact.
+
+    Both corpus counts ride ONE exchange on (w1, w2): within that
+    partitioning, c(w1w2w3) is the peer count of a RANGE CURRENT ROW
+    frame ordered by w3, and c(w1w2·) the unordered whole-partition
+    count — no second corpus-volume shuffle for the context table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3  # sequence(0, negative) counts DOWN (q94 guard)
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), i -> struct("
+                "element_at(t, i + 1) AS w1,"
+                " element_at(t, i + 2) AS w2,"
+                " element_at(t, i + 3) AS w3))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    ctx = W.partitionBy("w1", "w2")
+    peers = ctx.orderBy("w3").rangeBetween(W.currentRow, W.currentRow)
+    probs = tri.select(
+        "doc_id",
+        F.count(F.lit(1)).over(peers).alias("n_tri_c"),
+        F.count(F.lit(1)).over(ctx).alias("n_ctx_c"),
+    ).select(
+        "doc_id",
+        F.expr(f"({_FP} * n_tri_c) div n_ctx_c").alias("p_fp"),
+    )
+    return probs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.sum("p_fp").alias("score_fp"),
+    ).select(
+        "doc_id",
+        "n_tri",
+        "score_fp",
+        # ONE IEEE division of exact integers — bit-identical in both
+        # engines; rounding here would create half-way ties (q42 rule).
+        (F.col("score_fp") / (F.col("n_tri") * F.lit(_FP))).alias("lm_score"),
+    )
+
+
+def q102_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-run scrub audit over the events props payload: per event
+    type, how many rows carry runs, total matches (2+ and the
+    high-confidence 4+ subset), and the masked byte count — the
+    compliance evidence a scrub stage must emit alongside the redacted
+    data itself. Redaction is shown live: n_chars_masked is computed
+    from the actual regexp_replace output, not inferred."""
+    ev = load_table(spark, sf_dir, "events")
+    props = F.coalesce("props", F.lit(""))
+    red = F.regexp_replace(props, F.lit(PII_RUN_PAT), F.lit(PII_MASK))
+    n_runs = F.regexp_count(props, F.lit(PII_RUN_PAT))
+    n_long = F.regexp_count(props, F.lit(PII_LONG_PAT))
+    return (
+        ev.select(
+            "event_type",
+            n_runs.alias("n_runs"),
+            n_long.alias("n_long"),
+            (F.length(props) - F.length(red)).alias("masked"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("n_runs") > 0, 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+            F.sum("n_runs").alias("n_matches"),
+            F.sum("n_long").alias("n_long_matches"),
+            F.sum("masked").alias("n_chars_masked"),
+        )
+    )
+
+
+def q103_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: per signature-agreement level
+    (0..N_HASHES matching components), the candidate-pair count and
+    the mean EXACT shingle Jaccard, fixed-point-summed so the mean is
+    exact until one final division. The curve that justifies (or
+    indicts) the band threshold q22's candidates are cut at."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _signatures(docs).localCheckpoint()
+    pairs = _candidate_pairs(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_HASHES)
+    ).cast("bigint")
+    from .dedup import _H32_SPARK, _shingled
+
+    sh = (
+        _shingled(docs)
+        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_i = F.coalesce("n_inter", F.lit(0))
+    per_pair = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter_z", n_i)
+        .select(
+            agree.alias("agree"),
+            F.expr(
+                f"({_FP} * n_inter_z) div (n_a + n_b - n_inter_z)"
+            ).alias("j_fp"),
+        )
+    )
+    return per_pair.groupBy("agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("j_fp").alias("sum_j_fp"),
+    ).select(
+        "agree",
+        (F.col("agree") / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        "n_pairs",
+        (F.col("sum_j_fp") / (F.col("n_pairs") * F.lit(_FP))).alias(
+            "mean_true_jaccard"
+        ),
+    )
+
+
+def q104_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact p5/p95 length bounds and trim outcome.
+
+    Exact k-th-smallest WITHOUT a per-language fact-scale sort: docs
+    collapse to the (lang, n_chars) value histogram first (one map-side
+    combined aggregate; cardinality = langs × length domain, data-size
+    independent), cumulative counts run over that histogram, and the
+    bound is the smallest value whose cumulative count reaches
+    ceil(p·n) — integer arithmetic throughout. The kept count is a
+    second pass over the same tiny histogram, so the corpus is scanned
+    exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("n"))
+    wl = W.partitionBy("lang").orderBy("n_chars")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        "n",
+        F.sum("n").over(wl.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(W.partitionBy("lang")).alias("n_docs"),
+    )
+    lo_k = F.expr(f"({TRIM_LO_PCT} * n_docs + 99) div 100")
+    hi_k = F.expr(f"({TRIM_HI_PCT} * n_docs + 99) div 100")
+    bounds = cum.groupBy("lang").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.min(F.when(F.col("cum") >= lo_k, F.col("n_chars"))).alias("lo_bound"),
+        F.min(F.when(F.col("cum") >= hi_k, F.col("n_chars"))).alias("hi_bound"),
+    )
+    kept = (
+        hist.join(bounds, "lang")
+        .where(
+            (F.col("n_chars") >= F.col("lo_bound"))
+            & (F.col("n_chars") <= F.col("hi_bound"))
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n_kept"))
+    )
+    return bounds.join(kept, "lang").select(
+        "lang", "n_docs", "lo_bound", "hi_bound", "n_kept"
+    )
+
+
+def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidates from winnowing fingerprints: doc
+    pairs sharing >= MIN_SHARED_FPS selected k-gram hashes — copied
+    paragraphs inside otherwise-different documents (whole-doc MinHash
+    dilutes these below its threshold; winnowing's position-robust
+    local fingerprints do not).
+
+    Fingerprints whose posting list exceeds FP_DF_CAP are dropped
+    before the self-join (boilerplate hashes are signal for q99, noise
+    here, and quadratic in their df) — the same bounded-postings rule
+    as q78's inverted index."""
+    fps = q52_winnowing(spark, sf_dir)
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= FP_DF_CAP)
+        .select("fp")
+    )
+    # Inner join keeps only capped fingerprints; no forced broadcast —
+    # the fp dimension is corpus-sized (the q91 rule), AQE decides.
+    slim = fps.join(df_ok, "fp")
+    a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= MIN_SHARED_FPS)
+    )
+
+
+QUERIES = {
+    "q101_lm_doc_score": q101_lm_doc_score,
+    "q102_pii_scrub": q102_pii_scrub,
+    "q103_lsh_calibration": q103_lsh_calibration,
+    "q104_length_trim": q104_length_trim,
+    "q105_winnow_overlap": q105_winnow_overlap,
+}
+
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES)
+)
+
+ORACLE = {
+    "q101_lm_doc_score": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), tri AS (
+          SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+          FROM toks,
+               LATERAL unnest(generate_series(0, len(t) - 3)) AS g(i)
+        ), probs AS (
+          SELECT doc_id,
+                 ({_FP} * COUNT(*) OVER (PARTITION BY w1, w2, w3))
+                   // (COUNT(*) OVER (PARTITION BY w1, w2)) AS p_fp
+          FROM tri
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(p_fp) AS BIGINT) AS score_fp,
+               CAST(SUM(p_fp) AS BIGINT)
+                 / CAST(COUNT(*) * {_FP} AS BIGINT) AS lm_score
+        FROM probs GROUP BY doc_id
+    """,
+    "q102_pii_scrub": f"""
+        WITH scrub AS (
+          SELECT event_type,
+                 len(regexp_extract_all(COALESCE(props, ''),
+                     '{PII_RUN_PAT}')) AS n_runs,
+                 len(regexp_extract_all(COALESCE(props, ''),
+                     '{PII_LONG_PAT}')) AS n_long,
+                 length(COALESCE(props, ''))
+                   - length(regexp_replace(COALESCE(props, ''),
+                            '{PII_RUN_PAT}', '{PII_MASK}', 'g')) AS masked
+          FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN n_runs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(SUM(n_runs) AS BIGINT) AS n_matches,
+               CAST(SUM(n_long) AS BIGINT) AS n_long_matches,
+               CAST(SUM(masked) AS BIGINT) AS n_chars_masked
+        FROM scrub GROUP BY event_type
+    """,
+    "q103_lsh_calibration": f"""
+        WITH {_CAND_CTE},
+        dsh AS (SELECT DISTINCT doc_id, h FROM hashed_sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN dsh a ON a.doc_id = c.doc_a
+          JOIN dsh b ON b.doc_id = c.doc_b AND b.h = a.h
+          GROUP BY c.doc_a, c.doc_b
+        ), per_pair AS (
+          SELECT CAST({_AGREE_SQL} AS BIGINT) AS agree,
+                 ({_FP} * COALESCE(i.n_inter, 0))
+                   // (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)) AS j_fp
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes na ON na.doc_id = c.doc_a
+          JOIN sizes nb ON nb.doc_id = c.doc_b
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b
+        )
+        SELECT agree,
+               agree / CAST({N_HASHES} AS DOUBLE) AS est_jaccard,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(j_fp) AS BIGINT)
+                 / CAST(COUNT(*) * {_FP} AS BIGINT) AS mean_true_jaccard
+        FROM per_pair GROUP BY agree
+    """,
+    "q104_length_trim": f"""
+        WITH hist AS (
+          SELECT lang, n_chars, COUNT(*) AS n
+          FROM documents GROUP BY lang, n_chars
+        ), cum AS (
+          SELECT lang, n_chars, n,
+                 SUM(n) OVER (PARTITION BY lang ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n) OVER (PARTITION BY lang) AS n_docs
+          FROM hist
+        ), bounds AS (
+          SELECT lang,
+                 CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+                 MIN(CASE WHEN cum >= ({TRIM_LO_PCT} * n_docs + 99) // 100
+                          THEN n_chars END) AS lo_bound,
+                 MIN(CASE WHEN cum >= ({TRIM_HI_PCT} * n_docs + 99) // 100
+                          THEN n_chars END) AS hi_bound
+          FROM cum GROUP BY lang
+        ), kept AS (
+          SELECT h.lang, CAST(SUM(h.n) AS BIGINT) AS n_kept
+          FROM hist h JOIN bounds b ON b.lang = h.lang
+          WHERE h.n_chars BETWEEN b.lo_bound AND b.hi_bound
+          GROUP BY h.lang
+        )
+        SELECT b.lang, b.n_docs, b.lo_bound, b.hi_bound, k.n_kept
+        FROM bounds b JOIN kept k ON k.lang = b.lang
+    """,
+    "q105_winnow_overlap": f"""
+        WITH hs AS (
+          SELECT doc_id, {_KGRAM_HASHES_DUCK} AS hs FROM documents
+        ), sel AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(hs) - {WIN_W - 1}, 0)),
+                   i -> list_aggregate(hs[i:i+{WIN_W - 1}], 'min')) AS sel
+          FROM hs
+        ), fps AS (
+          SELECT DISTINCT doc_id, unnest(sel) AS fp FROM sel
+        ), df_ok AS (
+          SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {FP_DF_CAP}
+        ), slim AS (
+          SELECT f.doc_id, f.fp FROM fps f JOIN df_ok USING (fp)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM slim a JOIN slim b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SHARED_FPS}
+    """,
+}
