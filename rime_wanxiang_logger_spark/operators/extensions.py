@@ -724,9 +724,12 @@ ORACLE = {
                MIN(partner) AS first_partner
         FROM candn GROUP BY doc_id
     """,
-    # Islands flagged with diff >= gap (session_window's merge-on-
-    # OVERLAP boundary rule), brackets in unix micros; end = last event
-    # + gap, exactly session_window's end.
+    # Islands flagged with diff > gap: session_window merges sessions
+    # that overlap OR TOUCH (an event at exactly prev + gap extends the
+    # session — pinned by tests/test_plans.py
+    # test_q100_session_window_boundary_rule), which is also q33's
+    # batch convention. Brackets in unix micros; end = last event +
+    # gap, exactly session_window's end.
     "q100_stream_sessions": f"""
         WITH ev AS (
           SELECT user_id, event_id,
@@ -736,7 +739,7 @@ ORACLE = {
           SELECT user_id, event_id, ts_us,
             CASE WHEN lag(ts_us) OVER w IS NULL
                       OR ts_us - lag(ts_us) OVER w
-                         >= {SESSION_GAP_SECONDS * 1_000_000} THEN 1
+                         > {SESSION_GAP_SECONDS * 1_000_000} THEN 1
                  ELSE 0 END AS is_new
           FROM ev
           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)

@@ -247,7 +247,14 @@ def q104_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass over the same tiny histogram, so the corpus is scanned
     exactly once."""
     docs = load_table(spark, sf_dir, "documents")
-    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("n"))
+    # Pin the histogram: three consumers (cum/bounds, kept, output)
+    # would otherwise each re-run the corpus scan + aggregate. The
+    # pinned table is langs × length-domain — tiny at any corpus size.
+    hist = (
+        docs.groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     wl = W.partitionBy("lang").orderBy("n_chars")
     cum = hist.select(
         "lang",

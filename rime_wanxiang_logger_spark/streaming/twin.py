@@ -125,13 +125,13 @@ def session_report_stream(events: DataFrame) -> DataFrame:
     minimal (user, n_events) shape its parity test pins; this is the
     registrable q100 form.
 
-    Boundary semantics: Spark merges two session windows only when
-    they OVERLAP (next start < current end), so a gap of EXACTLY the
-    session timeout starts a new session — the oracle's island flag is
-    therefore ``diff >= gap``, not q33's ``>`` (the batch query keeps
-    its own documented convention; with microsecond timestamps the
-    boundary tie is measure-zero, but the oracle should match by
-    construction, not by luck).
+    Boundary semantics: Spark merges session windows that overlap OR
+    TOUCH — an event at exactly ``prev + gap`` EXTENDS the session
+    (verified empirically, pinned by tests/test_plans.py
+    ``test_q100_session_window_boundary_rule``) — so the oracle's
+    island flag is ``diff > gap``, the same convention batch q33 uses.
+    With microsecond timestamps the boundary tie is measure-zero, but
+    the oracle must match by construction, not by luck.
 
     No watermark: the registered q100 drains a bounded backfill with
     trigger(availableNow) in complete mode, where state is the session

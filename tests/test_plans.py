@@ -964,3 +964,159 @@ def test_global_row_number_is_exact_permutation(spark):
         range(1, n + 1)
     )
     assert got == sorted(got)
+
+
+def test_q101_lm_score_one_context_exchange(spark, sf_dir):
+    """Doc LM scoring: both corpus counts — c(w1w2w3) via the RANGE
+    CURRENT ROW peer frame and c(w1w2·) via the whole-partition frame
+    — must ride ONE (w1, w2) exchange; the only other shuffle is the
+    per-doc aggregate. One Generate, no Join anywhere."""
+    from rime_wanxiang_logger_spark.operators.policy import q101_lm_doc_score
+
+    df = q101_lm_doc_score(spark, sf_dir)
+    plan = explain_str(df)
+    assert op_count(df, "Generate") == 1, plan
+    assert "Join" not in plan, plan
+    assert op_count(df, "Window") == 2, plan
+    assert shuffle_count(df) == 2, plan  # (w1,w2) + doc_id agg
+    # probabilities are in (0, 1]: fixed-point sum never exceeds n·FP
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["score_fp"] <= r["n_tri"] * 1_000_000_000, r
+        assert 0.0 < r["lm_score"] <= 1.0, r
+
+
+def test_q102_pii_scrub_single_scan_no_shuffle_but_agg(spark, sf_dir):
+    """PII scrub audit: pure projection + one map-side-combined rollup
+    — a single events scan pruned to (event_type, props), one
+    exchange, JVM regex only (no Python in the plan)."""
+    from rime_wanxiang_logger_spark.operators.policy import q102_pii_scrub
+
+    df = q102_pii_scrub(spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 1, plan
+    assert not uses_python_eval(df), plan
+    (scan_cols,) = read_schema_columns(df)
+    assert set(scan_cols) == {"event_type", "props"}, plan
+    rows = df.collect()
+    assert sum(r["n_flagged"] for r in rows) > 0
+    for r in rows:
+        assert r["n_flagged"] <= r["n_events"], r
+        assert r["n_long_matches"] <= r["n_matches"], r
+        # every masked run is >= 2 digits replaced by one '#'
+        assert r["n_chars_masked"] >= r["n_matches"], r
+
+
+def test_q103_calibration_covers_all_candidates_monotone_tail(spark, sf_dir):
+    """Calibration must partition q22's candidate set exactly (pair
+    counts per agreement level sum to the candidate count), and the
+    top agreement level must have the highest mean true Jaccard —
+    the estimator's reason to exist."""
+    from rime_wanxiang_logger_spark.operators.dedup import q22_minhash_lsh
+    from rime_wanxiang_logger_spark.operators.policy import (
+        q103_lsh_calibration,
+    )
+
+    rows = q103_lsh_calibration(spark, sf_dir).collect()
+    n_cand = q22_minhash_lsh(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == n_cand
+    by_agree = {r["agree"]: r for r in rows}
+    # full monotonicity is a large-sample property; the load-bearing
+    # calibration claim is that the top agreement level separates from
+    # the bottom one
+    assert (
+        by_agree[max(by_agree)]["mean_true_jaccard"]
+        > by_agree[min(by_agree)]["mean_true_jaccard"]
+    ), rows
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0, r
+        assert 0.0 <= r["mean_true_jaccard"] <= 1.0, r
+
+
+def test_q104_length_trim_single_scan_bounded_tail(spark, sf_dir):
+    """Quantile trim: ONE documents scan (everything after runs on the
+    value histogram), and the trim drops at most ~10% per language
+    (ceil(5%) from each tail)."""
+    from rime_wanxiang_logger_spark.operators.policy import q104_length_trim
+
+    df = q104_length_trim(spark, sf_dir)
+    plan = explain_str(df)
+    # the histogram is pinned (localCheckpoint) after its single build
+    # scan, so no parquet scan survives into the final plan at all
+    assert "Scan parquet" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["lo_bound"] <= r["hi_bound"], r
+        trimmed = r["n_docs"] - r["n_kept"]
+        # <= ceil(5% n) - 1 below lo, <= floor(5% n) above hi
+        assert trimmed <= (5 * r["n_docs"] + 99) // 100 * 2, r
+        assert r["n_kept"] < r["n_docs"] or r["n_docs"] < 20, r
+
+
+def test_q105_winnow_overlap_matches_fingerprint_recount(spark, sf_dir):
+    """Overlap pairs re-derived from q52's fingerprint table must
+    agree: for each reported pair, |fps(a) ∩ fps(b)| restricted to
+    capped fingerprints equals n_shared."""
+    from collections import Counter
+
+    from rime_wanxiang_logger_spark.operators.dedup import q52_winnowing
+    from rime_wanxiang_logger_spark.operators.policy import (
+        FP_DF_CAP,
+        MIN_SHARED_FPS,
+        q105_winnow_overlap,
+    )
+
+    rows = q105_winnow_overlap(spark, sf_dir).collect()
+    assert rows
+    fps = q52_winnowing(spark, sf_dir).collect()
+    df_count = Counter(r["fp"] for r in fps)
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        if df_count[r["fp"]] <= FP_DF_CAP:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for r in rows[:20]:
+        shared = by_doc.get(r["doc_a"], set()) & by_doc.get(r["doc_b"], set())
+        assert len(shared) == r["n_shared"] >= MIN_SHARED_FPS, r
+
+
+def test_q100_session_window_boundary_rule(spark):
+    """A gap of EXACTLY the session timeout must EXTEND the session
+    (session_window merges windows that overlap or touch) — the
+    boundary rule the q100 oracle encodes with `diff > gap`, matching
+    batch q33. Pinned here so an upstream semantics change breaks
+    loudly instead of as a measure-zero oracle mismatch."""
+    import datetime as dt
+
+    from rime_wanxiang_logger_spark.operators.windows import (
+        SESSION_GAP_SECONDS,
+    )
+    from rime_wanxiang_logger_spark.streaming.twin import (
+        session_report_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=SESSION_GAP_SECONDS)),  # == gap
+        (2, t0),
+        (2, t0 + dt.timedelta(seconds=SESSION_GAP_SECONDS - 1)),  # < gap
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_report_stream(ev).collect()
+    )
+    # both users: one merged 2-event session (exact-gap touch merges);
+    # a > gap event must still split
+    assert got == [(1, 2), (2, 2)], got
+    t2 = t0 + dt.timedelta(seconds=SESSION_GAP_SECONDS, microseconds=1)
+    ev2 = spark.createDataFrame(
+        [(1, t0), (1, t2)], "user_id bigint, ts timestamp"
+    )
+    got2 = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_report_stream(ev2).collect()
+    )
+    assert got2 == [(1, 1), (1, 1)], got2
