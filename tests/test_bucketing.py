@@ -1,0 +1,103 @@
+"""Bucketed-layout co-located joins: the disk-layout strategy that
+deletes the shuffle from repeated fact-fact joins at 100 TB.
+
+The engine's query plane assumes AQE picks join strategies at runtime;
+this suite pins the complementary LAYOUT claim the docs make (SURVEY
+§7.3): if the two fact tables are written bucketed (and sorted) on the
+join key with equal bucket counts, Spark's scan reports the hash
+partitioning and the sort-merge join needs NO Exchange on either side
+— the join cost becomes a local merge per bucket. At cluster scale
+this is the difference between re-shuffling 100 TB per join and
+reading co-located buckets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rime_wanxiang_logger_spark.plans import explain_str
+from rime_wanxiang_logger_spark.sources.readers import load_table
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force non-broadcast joins so the bucketing claim is what's
+    actually tested (sf0.01 facts would otherwise broadcast)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", lineitem, "l_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(
+            bl, bo.o_orderkey == bl.l_orderkey
+        ).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = explain_str(joined)
+        pre_agg = plan.split("HashAggregate")[-1]  # below the agg:
+        # the join and both scans — no Exchange may appear there
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in pre_agg, plan
+        # bucketed + sortBy: per-bucket files are pre-sorted, but Spark
+        # only elides the Sort when each bucket is a single file; the
+        # load-bearing claim is the absent Exchange (the 100 TB cost).
+
+        # values must equal the plain (shuffled) join
+        plain = (
+            orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_aggregation_reuses_layout(spark, sf_dir, tmp_path, no_broadcast):
+    """A groupBy on the bucket key must also run exchange-free — the
+    same layout amortizes joins AND aggregations."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_li2"))
+        .saveAsTable("b_li2")
+    )
+    try:
+        agg = (
+            spark.table("b_li2")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = explain_str(agg)
+        assert "Exchange" not in plan, plan
+        assert agg.count() == lineitem.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li2")
