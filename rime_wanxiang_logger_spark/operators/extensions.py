@@ -591,6 +591,66 @@ def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q100_stream_sessions_sink")
 
 
+def q106_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream interval join
+    (streaming/twin.attribution_stream: purchases ← same-user views in
+    the preceding hour) drained availableNow — the last streaming twin
+    without a driver-certified oracle row. Inner stream-stream joins
+    emit on match in append mode, so a bounded drain yields the full
+    pair set; the watermark matters only for state EVICTION (the
+    100 TB property), never for result completeness on an inner join.
+
+    Timestamps leave as unix micros (engine-agnostic, the q33/q100
+    convention)."""
+    from ..streaming.twin import attribution_stream, read_events_stream
+
+    q = (
+        attribution_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("q106_stream_attribution_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return spark.table("q106_stream_attribution_sink").select(
+        "purchase_id",
+        "user_id",
+        us("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+        us("view_ts").alias("view_ts_us"),
+        "view_value",
+    )
+
+
+def q107_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-keyed-state as-of carry
+    (streaming/twin.stateful_asof_stream — applyInPandasWithState, the
+    Lua last-input-state machine) drained availableNow: per purchase
+    event, the most recent PRIOR non-purchase value of the same user.
+
+    This certifies the custom stateful operator path — the one plane
+    the driver gate didn't yet cover — against a pure SQL oracle
+    (IGNORE NULLS last_value over a 1-PRECEDING frame). Valid because
+    the bounded drain is ONE micro-batch, inside which the state fn
+    totally orders each user by (ts, event_id); the multi-batch
+    ordering caveat in the twin's docstring doesn't apply to a batch
+    backfill."""
+    from ..streaming.twin import read_events_stream, stateful_asof_stream
+
+    q = (
+        stateful_asof_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("q107_stateful_asof_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q107_stateful_asof_sink")
+
+
 QUERIES = {
     "q34_tumbling_window": q34_tumbling_window,
     "q35_asof_join": q35_asof_join,
@@ -604,6 +664,8 @@ QUERIES = {
     "q43_stream_hourly": q43_stream_hourly,
     "q92_dedup_admit": q92_dedup_admit,
     "q100_stream_sessions": q100_stream_sessions,
+    "q106_stream_attribution": q106_stream_attribution,
+    "q107_stateful_asof": q107_stateful_asof,
 }
 
 _TUMBLE_S = TUMBLE_HOURS * 3600
@@ -756,5 +818,40 @@ ORACLE = {
                  AS session_end_us,
                COUNT(*) AS n_events
         FROM sess GROUP BY user_id, sid
+    """,
+    "q106_stream_attribution": """
+        WITH v AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS view_ts_us,
+                 value AS view_value
+          FROM events WHERE event_type = 'view'
+        ), p AS (
+          SELECT event_id AS purchase_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_ts_us,
+                 value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+               p.purchase_value, v.view_ts_us, v.view_value
+        FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND v.view_ts_us <= p.purchase_ts_us
+         AND v.view_ts_us >= p.purchase_ts_us - 3600000000
+    """,
+    "q107_stateful_asof": """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events
+        ), seq AS (
+          SELECT event_id, user_id, event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_value
+          FROM e
+        )
+        SELECT event_id, user_id, value, prior_value
+        FROM seq WHERE event_type = 'purchase'
     """,
 }
