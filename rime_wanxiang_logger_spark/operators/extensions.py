@@ -53,6 +53,38 @@ from .dedup import _CAND_CTE as _DEDUP_CAND_CTE, INCR_MOD, INCR_REM
 from .windows import SESSION_GAP_SECONDS
 
 TUMBLE_HOURS = 6
+
+#: State-store partition width for the registered streaming drains.
+#: A streaming query's shuffle width is a DEPLOYMENT knob, not a
+#: semantic one: it fixes the number of state-store instances at the
+#: first checkpoint, and every micro-batch pays a per-partition state
+#: commit regardless of data volume (measured locally: the q106
+#: interval join costs 12.7/7.4/4.1 s at 32/16/8 partitions for the
+#: SAME 342 rows — pure fixed cost). Production sizes this to state
+#: volume and throughput per the checkpoint; the drained results are
+#: partition-count-invariant (driver-certified either way).
+STREAM_STATE_PARTITIONS = 8
+
+
+class _stream_state_width:
+    """Scope the session's shuffle width down to the streaming state
+    width for the duration of a drain, restoring it afterwards (the
+    rest of the bench keeps the batch-sized 32)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 PRICE_BAND_WIDTH = 100_000.0
 N_PRICE_BANDS = 7  # covers o_totalprice up to 700k
 SALT_BUCKETS = 16
@@ -500,28 +532,29 @@ def q43_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.twin import read_events_stream
 
-    ev = read_events_stream(spark, sf_dir)
-    rolled = (
-        ev.withColumn("ts", F.col("ts").cast("timestamp"))
-        .groupBy(F.window("ts", "1 hour").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value", scale=2).alias("sum_value"),
+    with _stream_state_width(spark):
+        ev = read_events_stream(spark, sf_dir)
+        rolled = (
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", scale=2).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").cast("timestamp_ntz").alias("bucket_hour"),
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            F.col("win.start").cast("timestamp_ntz").alias("bucket_hour"),
-            "n_events",
-            "sum_value",
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName("q43_stream_hourly_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName("q43_stream_hourly_sink")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table("q43_stream_hourly_sink")
 
 
@@ -543,24 +576,25 @@ def q92_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.twin import dedup_admit_stream
 
     schema = load_table(spark, sf_dir, "documents").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        # file sources want a directory; glob-select the documents table
-        # (the read_events_stream pattern, streaming/twin.py)
-        .option("pathGlobFilter", "documents*.parquet")
-        .load(sf_dir)
-        .where((F.col("doc_id") % INCR_MOD) == F.lit(INCR_REM))
-    )
-    q = (
-        dedup_admit_stream(spark, stream, sf_dir)
-        .writeStream.format("memory")
-        .queryName("q92_dedup_admit_sink")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_width(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            # file sources want a directory; glob-select the documents
+            # table (the read_events_stream pattern, streaming/twin.py)
+            .option("pathGlobFilter", "documents*.parquet")
+            .load(sf_dir)
+            .where((F.col("doc_id") % INCR_MOD) == F.lit(INCR_REM))
+        )
+        q = (
+            dedup_admit_stream(spark, stream, sf_dir)
+            .writeStream.format("memory")
+            .queryName("q92_dedup_admit_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q92_dedup_admit_sink")
 
 
@@ -579,15 +613,16 @@ def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.twin import read_events_stream, session_report_stream
 
-    q = (
-        session_report_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("q100_stream_sessions_sink")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_width(spark):
+        q = (
+            session_report_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("q100_stream_sessions_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q100_stream_sessions_sink")
 
 
@@ -604,15 +639,16 @@ def q106_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention)."""
     from ..streaming.twin import attribution_stream, read_events_stream
 
-    q = (
-        attribution_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("q106_stream_attribution_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_width(spark):
+        q = (
+            attribution_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("q106_stream_attribution_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     return spark.table("q106_stream_attribution_sink").select(
         "purchase_id",
@@ -639,15 +675,16 @@ def q107_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfill."""
     from ..streaming.twin import read_events_stream, stateful_asof_stream
 
-    q = (
-        stateful_asof_stream(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("q107_stateful_asof_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_width(spark):
+        q = (
+            stateful_asof_stream(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("q107_stateful_asof_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q107_stateful_asof_sink")
 
 
