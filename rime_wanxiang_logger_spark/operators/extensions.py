@@ -688,6 +688,43 @@ def q107_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q107_stateful_asof_sink")
 
 
+def q110_stream_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Lua page/snapshot/latch state machine executed as
+    keyed streaming state (streaming/twin.stateful_page_rank_stream)
+    over the same deterministically-dressed event stream batch q70
+    replays — drained availableNow and certified against q70's OWN SQL
+    oracle. Batch windows, streaming state, and a third independent
+    SQL replica all produce the identical rank replay: the strongest
+    parity statement in the repo.
+
+    map_events_to_rime is a pure projection, so it applies to the
+    stream unchanged; the state fn concat-sorts each key's chunks per
+    micro-batch, and the bounded drain is one batch (the q107
+    argument)."""
+    from ..streaming.twin import read_events_stream, stateful_page_rank_stream
+    from .rime import map_events_to_rime
+
+    with _stream_state_width(spark):
+        rime_stream = map_events_to_rime(read_events_stream(spark, sf_dir))
+        q = (
+            stateful_page_rank_stream(rime_stream)
+            .writeStream.format("memory")
+            .queryName("q110_stream_page_rank_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("q110_stream_page_rank_sink").select(
+        "event_id",
+        F.col("session_id").alias("user_id"),
+        "committed_text",
+        "page_index",
+        "selection_key",
+        "replayed_rank",
+    )
+
+
 QUERIES = {
     "q34_tumbling_window": q34_tumbling_window,
     "q35_asof_join": q35_asof_join,
@@ -703,6 +740,7 @@ QUERIES = {
     "q100_stream_sessions": q100_stream_sessions,
     "q106_stream_attribution": q106_stream_attribution,
     "q107_stateful_asof": q107_stateful_asof,
+    "q110_stream_page_rank": q110_stream_page_rank,
 }
 
 _TUMBLE_S = TUMBLE_HOURS * 3600
@@ -874,6 +912,7 @@ ORACLE = {
          AND v.view_ts_us <= p.purchase_ts_us
          AND v.view_ts_us >= p.purchase_ts_us - 3600000000
     """,
+    "q110_stream_page_rank": None,  # filled below from rime's oracle
     "q107_stateful_asof": """
         WITH e AS (
           SELECT event_id, user_id, event_type, value,
@@ -892,3 +931,9 @@ ORACLE = {
         FROM seq WHERE event_type = 'purchase'
     """,
 }
+
+# q110 certifies the STREAMING state machine against the SAME SQL
+# replica as batch q70 — one oracle, three implementations.
+from .rime import ORACLE as _RIME_ORACLE  # noqa: E402
+
+ORACLE["q110_stream_page_rank"] = _RIME_ORACLE["q70_page_rank_replay"]

@@ -60,12 +60,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import fanout, load_table
 from .dedup import (
     N_HASHES,
     WIN_W,
     _CAND_CTE,
+    _H32_DUCK,
+    _H32_SPARK,
     _KGRAM_HASHES_DUCK,
+    _P,
+    _SHINGLES_DUCK,
+    _SHINGLES_SPARK,
     _candidate_pairs,
     _signatures,
     q52_winnowing,
@@ -316,13 +321,201 @@ def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom prefilter geometry for q108. K affine hash functions over the
+#: gram's 32-bit md5 base (dedup's engine-portable decode), M bit
+#: positions. Constants distinct from dedup's signature family so the
+#: two hash planes stay independent.
+BLOOM_K = 2
+BLOOM_M = 65536
+_BLOOM_A = [(909_090_909 + 414_213_563 * i) % _P for i in range(BLOOM_K)]
+_BLOOM_B = [(271_828_183 + 141_421_357 * i) % _P for i in range(BLOOM_K)]
+
+_BLOOM_POS = [
+    f"(({a} * (h % {_P}) + {b}) % {_P}) % {BLOOM_M}"
+    for a, b in zip(_BLOOM_A, _BLOOM_B)
+]
+
+#: q75's eval-holdout convention.
+_EVAL_MOD = 97
+
+DRIFT_TOPK = 10
+_DRIFT_SALT = 16
+
+
+def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination with a MEASURED false-positive
+    rate — the broadcast-cheap front end for q75's exact eval-overlap
+    join.
+
+    At 100 TB the eval gram set can be GBs (too big to broadcast
+    comfortably), but its Bloom filter is M bits regardless: the
+    prefilter pass broadcasts only the bit positions, cuts the
+    training stream to Bloom-candidate grams, and ONLY those reach the
+    exact string join. This query runs both stages and reports the
+    audit a pipeline needs before trusting the cut: probe count,
+    candidate count, true hits, false positives, the measured fp rate,
+    and — the Bloom invariant — zero false negatives (oracle-checked
+    to be exactly 0, not just asserted).
+
+    One corpus scan feeds both sides; everything broadcast is bounded
+    by M (positions) or the eval gram count. All hashes are the
+    engine-portable md5+affine family (exact BIGINT, replayed
+    bit-identically by DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        fanout(docs)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
+    )
+    evl = (
+        sh.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("sh", "h")
+        .distinct()
+        .localCheckpoint()  # tiny (eval grams); read by bits + truth
+    )
+    bits = (
+        evl.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in _BLOOM_POS])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    train = (
+        sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id", "sh", "h")
+        .distinct()
+    )
+    probes = train.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array_distinct(F.array(*[F.expr(p) for p in _BLOOM_POS]))
+        ).alias("pos"),
+    )
+    matched = (
+        probes.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id", "sh")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("hit", F.lit(0))))
+            .alias("bloom_cand")
+        )
+    )
+    truth = train.join(
+        F.broadcast(
+            evl.select(F.col("sh").alias("sh_hit")).distinct()
+        ),
+        F.col("sh") == F.col("sh_hit"),
+        "left",
+    ).select("doc_id", "sh", F.col("sh_hit").isNotNull().alias("true_hit"))
+    flags = matched.join(truth, ["doc_id", "sh"])
+    t = F.col("true_hit").cast("bigint")
+    c = F.col("bloom_cand").cast("bigint")
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(c).alias("n_candidates"),
+        F.sum(t).alias("n_true"),
+        F.sum(c * (1 - t)).alias("n_false_pos"),
+        F.sum(t * (1 - c)).alias("n_false_neg"),  # MUST be 0
+        (
+            F.sum(c * (1 - t))
+            / (F.count(F.lit(1)) - F.sum(t)).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+def q109_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: the DRIFT_TOPK words whose
+    frequency most disagrees with the corpus-wide unigram distribution
+    — the chi-square contribution (o·N − c·s)² / (c·s·N) per (source,
+    word), where o is the word's count in the source, c its corpus
+    count, s the source total and N the corpus total. The
+    source-shift diagnostic a mixture pipeline (q73/q95) runs before
+    trusting its bins.
+
+    Determinism: counts are exact integers; products run in
+    DECIMAL(38,0) (o·N reaches N² ≈ 6e26 when a source dominates —
+    past BIGINT at 100 TB-scale token counts; DuckDB mirrors in
+    HUGEINT), and the score is a single deterministic IEEE
+    cast-multiply-divide — never a float SUM.
+
+    Scale shape: the (source, word) table is vocab-sized, so corpus
+    word counts come from a co-partitioned window on (w), source
+    totals from a tiny re-aggregate joined back on the bounded source
+    key, and the per-source top-k runs TWO-PHASE (salted local top-k,
+    then a final rank over ≤ K·SALT survivors per source) — never a
+    single task sorting a vocab-sized partition (the q10 rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = fanout(docs).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    o = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("o"))
+        # pinned: read by the window pass, the source totals, and N —
+        # at cluster scale this is the persisted stage table
+        .localCheckpoint()
+    )
+    oc = o.withColumn(
+        "c", F.sum("o").over(W.partitionBy("w"))
+    )
+    s_tot = o.groupBy("source").agg(F.sum("o").alias("s"))
+    n_tot = s_tot.agg(F.sum("s").alias("n"))  # 1 row
+    dec = "decimal(38,0)"
+    scored = (
+        oc.join(s_tot, "source")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "d",
+            F.col("o").cast(dec) * F.col("n").cast(dec)
+            - F.col("c").cast(dec) * F.col("s").cast(dec),
+        )
+        .select(
+            "source",
+            "w",
+            "o",
+            (
+                (F.col("d").cast("double") * F.col("d").cast("double"))
+                / (
+                    (F.col("c").cast(dec) * F.col("s").cast(dec))
+                    .cast("double")
+                    * F.col("n").cast("double")
+                )
+            ).alias("drift_score"),
+        )
+    )
+    # two-phase per-source top-k (q10's global-rank pattern, per group)
+    salt = F.pmod(F.xxhash64("w"), F.lit(_DRIFT_SALT))
+    survivors = scored.withColumn(
+        "local_rn", F.row_number().over(
+            W.partitionBy("source", salt).orderBy(
+                F.desc("drift_score"), F.asc("w")
+            )
+        )
+    ).where(F.col("local_rn") <= DRIFT_TOPK)
+    w_final = W.partitionBy("source").orderBy(
+        F.desc("drift_score"), F.asc("w")
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_final))
+        .where(F.col("rnk") <= DRIFT_TOPK)
+        .select("source", "w", "o", "drift_score", "rnk")
+    )
+
+
 QUERIES = {
     "q101_lm_doc_score": q101_lm_doc_score,
     "q102_pii_scrub": q102_pii_scrub,
     "q103_lsh_calibration": q103_lsh_calibration,
     "q104_length_trim": q104_length_trim,
     "q105_winnow_overlap": q105_winnow_overlap,
+    "q108_bloom_decontaminate": q108_bloom_decontaminate,
+    "q109_source_drift": q109_source_drift,
 }
+
+_BLOOM_POS_LIST = ", ".join(_BLOOM_POS)
 
 _AGREE_SQL = " + ".join(
     f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES)
@@ -448,5 +641,80 @@ ORACLE = {
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= {MIN_SHARED_FPS}
+    """,
+    "q108_bloom_decontaminate": f"""
+        WITH shingles AS (
+          SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM documents
+        ), hashed AS (
+          SELECT doc_id, sh, CAST({_H32_DUCK} AS BIGINT) AS h
+          FROM shingles
+        ), evl AS (
+          SELECT DISTINCT sh, h FROM hashed WHERE doc_id % {_EVAL_MOD} = 0
+        ), bits AS (
+          SELECT DISTINCT pos
+          FROM (SELECT unnest([{_BLOOM_POS_LIST}]) AS pos FROM evl)
+        ), train AS (
+          SELECT DISTINCT doc_id, sh, h FROM hashed
+          WHERE doc_id % {_EVAL_MOD} <> 0
+        ), probes AS (
+          SELECT doc_id, sh,
+                 unnest(list_distinct([{_BLOOM_POS_LIST}])) AS pos
+          FROM train
+        ), matched AS (
+          SELECT p.doc_id, p.sh,
+                 COUNT(*) = SUM(CASE WHEN b.pos IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS bloom_cand
+          FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+          GROUP BY p.doc_id, p.sh
+        ), truth AS (
+          SELECT t.doc_id, t.sh, e.sh IS NOT NULL AS true_hit
+          FROM train t
+          LEFT JOIN (SELECT DISTINCT sh FROM evl) e ON e.sh = t.sh
+        ), flags AS (
+          SELECT m.doc_id,
+                 CASE WHEN m.bloom_cand THEN 1 ELSE 0 END AS c,
+                 CASE WHEN tr.true_hit THEN 1 ELSE 0 END AS t
+          FROM matched m
+          JOIN truth tr ON tr.doc_id = m.doc_id AND tr.sh = m.sh
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(c) AS BIGINT) AS n_candidates,
+               CAST(SUM(t) AS BIGINT) AS n_true,
+               CAST(SUM(c * (1 - t)) AS BIGINT) AS n_false_pos,
+               CAST(SUM(t * (1 - c)) AS BIGINT) AS n_false_neg,
+               CAST(SUM(c * (1 - t)) AS BIGINT)
+                 / CAST(COUNT(*) - SUM(t) AS DOUBLE) AS fp_rate
+        FROM flags
+    """,
+    "q109_source_drift": f"""
+        WITH words AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), o AS (
+          SELECT source, w, COUNT(*) AS o FROM words GROUP BY source, w
+        ), oc AS (
+          SELECT source, w, CAST(o AS BIGINT) AS o,
+                 CAST(SUM(o) OVER (PARTITION BY w) AS BIGINT) AS c
+          FROM o
+        ), s AS (
+          SELECT source, CAST(SUM(o) AS BIGINT) AS s FROM o
+          GROUP BY source
+        ), n AS (SELECT CAST(SUM(s) AS BIGINT) AS n FROM s),
+        scored AS (
+          SELECT oc.source, oc.w, oc.o,
+                 CAST(CAST(oc.o AS HUGEINT) * n.n
+                      - CAST(oc.c AS HUGEINT) * s.s AS DOUBLE)
+                 * CAST(CAST(oc.o AS HUGEINT) * n.n
+                        - CAST(oc.c AS HUGEINT) * s.s AS DOUBLE)
+                 / (CAST(CAST(oc.c AS HUGEINT) * s.s AS DOUBLE)
+                    * CAST(n.n AS DOUBLE)) AS drift_score
+          FROM oc JOIN s USING (source), n
+        )
+        SELECT source, w, o, drift_score,
+               CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY drift_score DESC, w) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= {DRIFT_TOPK}
     """,
 }
