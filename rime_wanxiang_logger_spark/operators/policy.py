@@ -381,36 +381,44 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # ONE pass over the training grams: the exact-truth flag joins
+    # first (broadcast of the eval grams — the thing the Bloom filter
+    # exists to avoid at scale; kept here because this query's JOB is
+    # to measure the Bloom against the truth), then the position
+    # explode + bit probe ride the same lineage — the documents
+    # parquet appears exactly once in the final plan (plan test).
     train = (
         sh.where(F.col("doc_id") % _EVAL_MOD != 0)
         .select("doc_id", "sh", "h")
         .distinct()
+        .join(
+            F.broadcast(evl.select(F.col("sh").alias("sh_hit"))),
+            F.col("sh") == F.col("sh_hit"),
+            "left",
+        )
+        .select(
+            "doc_id", "sh", "h",
+            F.col("sh_hit").isNotNull().alias("true_hit"),
+        )
     )
     probes = train.select(
         "doc_id",
         "sh",
+        "true_hit",
         F.explode(
             F.array_distinct(F.array(*[F.expr(p) for p in _BLOOM_POS]))
         ).alias("pos"),
     )
-    matched = (
+    flags = (
         probes.join(
             F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
         )
-        .groupBy("doc_id", "sh")
+        .groupBy("doc_id", "sh", "true_hit")
         .agg(
             (F.count(F.lit(1)) == F.sum(F.coalesce("hit", F.lit(0))))
             .alias("bloom_cand")
         )
     )
-    truth = train.join(
-        F.broadcast(
-            evl.select(F.col("sh").alias("sh_hit")).distinct()
-        ),
-        F.col("sh") == F.col("sh_hit"),
-        "left",
-    ).select("doc_id", "sh", F.col("sh_hit").isNotNull().alias("true_hit"))
-    flags = matched.join(truth, ["doc_id", "sh"])
     t = F.col("true_hit").cast("bigint")
     c = F.col("bloom_cand").cast("bigint")
     return flags.agg(

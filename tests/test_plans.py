@@ -1120,3 +1120,54 @@ def test_q100_session_window_boundary_rule(spark):
         for r in session_report_stream(ev2).collect()
     )
     assert got2 == [(1, 1), (1, 1)], got2
+
+
+def test_q108_bloom_single_train_pass_no_false_negatives(spark, sf_dir):
+    """Bloom decontamination: the truth join and the bit probe ride
+    ONE training-gram lineage — exactly one parquet scan survives into
+    the final plan (the eval side is pinned). Invariants: a Bloom
+    filter can have false positives, NEVER false negatives; every true
+    hit must be a candidate; and n_true must equal q75's total."""
+    from rime_wanxiang_logger_spark.operators.policy import (
+        q108_bloom_decontaminate,
+    )
+    from rime_wanxiang_logger_spark.operators.quality import (
+        q75_decontaminate,
+    )
+
+    df = q108_bloom_decontaminate(spark, sf_dir)
+    # one parquet scan (the eval/bits sides read the pinned checkpoint)
+    assert len(read_schema_columns(df)) == 1, explain_str(df)
+    (row,) = df.collect()
+    assert row["n_false_neg"] == 0, row
+    assert row["n_candidates"] >= row["n_true"], row
+    assert (
+        row["n_candidates"] - row["n_true"] == row["n_false_pos"]
+    ), row
+    n_true_q75 = sum(
+        r["n_hits"] for r in q75_decontaminate(spark, sf_dir).collect()
+    )
+    assert row["n_true"] == n_true_q75, (row, n_true_q75)
+
+
+def test_q109_drift_two_phase_topk_no_unpartitioned_window(spark, sf_dir):
+    """Source drift: per-source top-k must run two-phase (salted local
+    rank then a rank over survivors) — no unpartitioned ordered window
+    anywhere, no vocab-sized single-task sort on a bounded key alone.
+    Output: exactly DRIFT_TOPK rows per source, ranks 1..K."""
+    from collections import Counter
+
+    from rime_wanxiang_logger_spark.operators.policy import (
+        DRIFT_TOPK,
+        q109_source_drift,
+    )
+    from rime_wanxiang_logger_spark.plans import unpartitioned_windows
+
+    df = q109_source_drift(spark, sf_dir)
+    assert unpartitioned_windows(df) == [], explain_str(df)
+    rows = df.collect()
+    per_src = Counter(r["source"] for r in rows)
+    assert all(n == DRIFT_TOPK for n in per_src.values()), per_src
+    for r in rows:
+        assert 1 <= r["rnk"] <= DRIFT_TOPK
+        assert r["drift_score"] >= 0.0
