@@ -513,6 +513,45 @@ def q109_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k calibration for the IVF index: the per-query overlap
+    histogram between q44's IVF top-k and q26's exact top-k — how many
+    queries got 0, 1, ..., k of their true neighbors back, with each
+    level's share of the query set. The recall-floor TESTS pin a lower
+    bound; this registers the full measured curve as a first-class
+    (driver-certified) diagnostic, which is what an ANN deployment
+    actually tunes nprobe against.
+
+    Both inputs are top-k tables (queries × k rows — driver-sized at
+    any corpus scale), pinned once; the histogram is exact integers
+    and the share one IEEE division."""
+    from .advanced import q44_ann_ivf
+    from .similarity import q26_ann_topk
+
+    ivf = (
+        q44_ann_ivf(spark, sf_dir).select("q_id", "n_id").localCheckpoint()
+    )
+    ex = (
+        q26_ann_topk(spark, sf_dir).select("q_id", "n_id").localCheckpoint()
+    )
+    match = ex.join(ivf, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_match")
+    )
+    qs = ex.select("q_id").distinct()
+    hist = (
+        qs.join(match, "q_id", "left")
+        .select(F.coalesce("n_match", F.lit(0)).alias("n_match"))
+        .groupBy("n_match")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+    tot = hist.agg(F.sum("n_queries").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("n_match").cast("bigint").alias("n_match"),
+        "n_queries",
+        (F.col("n_queries") / F.col("t").cast("double")).alias("share"),
+    )
+
+
 QUERIES = {
     "q101_lm_doc_score": q101_lm_doc_score,
     "q102_pii_scrub": q102_pii_scrub,
@@ -521,6 +560,7 @@ QUERIES = {
     "q105_winnow_overlap": q105_winnow_overlap,
     "q108_bloom_decontaminate": q108_bloom_decontaminate,
     "q109_source_drift": q109_source_drift,
+    "q111_ann_recall": q111_ann_recall,
 }
 
 _BLOOM_POS_LIST = ", ".join(_BLOOM_POS)
@@ -725,4 +765,54 @@ ORACLE = {
         FROM scored
         QUALIFY rnk <= {DRIFT_TOPK}
     """,
+    "q111_ann_recall": None,  # assembled below (needs advanced's CTE)
 }
+
+from .advanced import (  # noqa: E402
+    _DOT as _DOT_DUCK_IVF,
+    _IVF_CTE,
+    IVF_TOPK,
+)
+
+ORACLE["q111_ann_recall"] = f"""
+        WITH {_IVF_CTE},
+        ivf AS (
+          SELECT q_id, n_id FROM (
+            SELECT c.q_id, c.n_id,
+                   row_number() OVER (PARTITION BY c.q_id
+                     ORDER BY round({_DOT_DUCK_IVF.format(a="q.vq", b="n.v")}
+                                    / (q.nq * n.nrm), 9) DESC,
+                              c.n_id ASC) AS pos
+            FROM cand c
+            JOIN q ON q.q_id = c.q_id
+            JOIN v n ON n.vec_id = c.n_id
+          ) WHERE pos <= {IVF_TOPK}
+        ),
+        exact AS (
+          SELECT q_id, n_id FROM (
+            SELECT q.q_id, c.vec_id AS n_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round({_DOT_DUCK_IVF.format(a="q.vq", b="c.v")}
+                                    / (q.nq * c.nrm), 9) DESC,
+                              c.vec_id ASC) AS pos
+            FROM q JOIN v c ON c.vec_id <> q.q_id
+          ) WHERE pos <= {IVF_TOPK}
+        ),
+        mtch AS (
+          SELECT e.q_id, COUNT(*) AS n_match
+          FROM exact e JOIN ivf i
+            ON i.q_id = e.q_id AND i.n_id = e.n_id
+          GROUP BY e.q_id
+        ),
+        qs AS (SELECT DISTINCT q_id FROM exact),
+        hist AS (
+          SELECT CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+                 COUNT(*) AS n_queries
+          FROM qs LEFT JOIN mtch m USING (q_id)
+          GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_queries) AS BIGINT) AS t FROM hist)
+        SELECT n_match, n_queries,
+               n_queries / CAST(t AS DOUBLE) AS share
+        FROM hist, tot
+"""
