@@ -101,3 +101,26 @@ def test_bucketed_aggregation_reuses_layout(spark, sf_dir, tmp_path, no_broadcas
         assert agg.count() == lineitem.select("l_orderkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li2")
+
+
+def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (SURVEY §4.3): documents written
+    partitionBy(lang) must answer a single-lang query by LISTING ONLY
+    that partition — the plan's PartitionFilters carry the predicate
+    and the row count matches the unpartitioned filter. At 100 TB this
+    is the difference between scanning one language's shard and the
+    whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    part = spark.read.parquet(out).where(F.col("lang") == "de")
+    plan = explain_str(part)
+    # the predicate lands in PartitionFilters (directory pruning) ...
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "= de)" in part_filters, plan
+    # ... and lang is a directory key, absent from the data-file schema
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "lang" not in read_schema, plan
+    got = part.count()
+    want = docs.where(F.col("lang") == "de").count()
+    assert got == want > 0
