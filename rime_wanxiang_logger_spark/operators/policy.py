@@ -78,7 +78,11 @@ from .dedup import (
 
 #: fixed-point scale for probability sums (q95's integer-exact rule:
 #: float sums are partial-order-dependent across engines; BIGINT sums
-#: are not). 1e9 · count stays far under 2^63 at any corpus size.
+#: are not). Envelope: 1e9·count must fit int64, i.e. a single count
+#: ≤ ~9.2e9 — ample for per-trigram/per-pair counts at 100 TB, and
+#: OUTSIDE the envelope both engines fail loudly (Spark ANSI overflow,
+#: DuckDB overflow error), never silently wrong
+#: (tests/test_policy_properties.py).
 _FP = 1_000_000_000
 
 PII_RUN_PAT = "[0-9]{2,}"  # digit runs (ids / phones / account nos)

@@ -1,0 +1,161 @@
+"""Property-based checks for the r4b policy pack's determinism idioms.
+
+The pack's oracle parity rests on three primitives being engine-exact:
+integer `div` (Spark) == `//` (DuckDB) == floor division for positive
+BIGINTs, the trigram-probability fixed-point sum, and the
+value-histogram k-th-smallest. The oracle suite pins them on the fixed
+corpus; these pin them on adversarial inputs against pure-Python
+replays and against DuckDB directly (two implementations, one spec —
+SURVEY §5.2.3).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# Envelope: 1e9·a must fit in int64, so a ≤ ~9.2e9 (policy._FP doc).
+# Outside it BOTH engines fail loudly (Spark ANSI overflow, DuckDB
+# overflow error) — never silently wrong.
+_POS = st.integers(min_value=1, max_value=2**33)
+_NUM = st.integers(min_value=0, max_value=2**33)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=st.lists(st.tuples(_NUM, _POS), min_size=1, max_size=30))
+def test_integer_div_is_engine_exact(spark, pairs):
+    """floor(1e9·a / b) via Spark `div` must equal DuckDB `//` and
+    Python `//` for every positive pair — the q95/q101/q103 fixed-point
+    primitive."""
+    df = spark.createDataFrame(pairs, "a long, b long").selectExpr(
+        "a", "b", "(1000000000 * a) div b AS q"
+    )
+    got = {(r["a"], r["b"]): r["q"] for r in df.collect()}
+    con = duckdb.connect()
+    for a, b in pairs:
+        (duck,) = con.execute(
+            f"SELECT (1000000000 * CAST({a} AS BIGINT)) // {b}"
+        ).fetchone()
+        assert got[(a, b)] == duck == (1_000_000_000 * a) // b, (a, b)
+    con.close()
+
+
+_WORDS = st.lists(
+    st.sampled_from(["x", "y", "zz", "x", "w1", "a b"]),
+    min_size=0,
+    max_size=20,
+).map(lambda ws: " ".join(ws))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_WORDS, min_size=1, max_size=6))
+def test_q101_score_matches_python_replay(spark, texts):
+    """q101's windowed fixed-point trigram score vs a pure-Python
+    replay of the same spec (corpus trigram/context counts, floored
+    1e9 ratios, integer sums)."""
+    from rime_wanxiang_logger_spark.operators.policy import _FP
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # run the same plan q101 builds, against the in-memory frame
+    from pyspark.sql import Window as W, functions as F
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), i -> struct("
+                "element_at(t, i + 1) AS w1,"
+                " element_at(t, i + 2) AS w2,"
+                " element_at(t, i + 3) AS w3))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    ctx = W.partitionBy("w1", "w2")
+    peers = ctx.orderBy("w3").rangeBetween(W.currentRow, W.currentRow)
+    got = {
+        r["doc_id"]: (r["n"], r["s"])
+        for r in tri.select(
+            "doc_id",
+            F.count(F.lit(1)).over(peers).alias("n_tri_c"),
+            F.count(F.lit(1)).over(ctx).alias("n_ctx_c"),
+        )
+        .select(
+            "doc_id", F.expr(f"({_FP} * n_tri_c) div n_ctx_c").alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("s"))
+        .collect()
+    }
+    # pure-Python replay
+    tris: dict[int, list] = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        tris[i] = [
+            (w[j], w[j + 1], w[j + 2]) for j in range(len(w) - 2)
+        ] if len(w) >= 3 else []
+    tri_c = Counter(g for gs in tris.values() for g in gs)
+    ctx_c = Counter((g[0], g[1]) for gs in tris.values() for g in gs)
+    for i, gs in tris.items():
+        if not gs:
+            assert i not in got
+            continue
+        s = sum(_FP * tri_c[g] // ctx_c[(g[0], g[1])] for g in gs)
+        assert got[i] == (len(gs), s), (i, got[i], len(gs), s)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=40), min_size=3, max_size=60)
+)
+def test_q104_bounds_are_exact_kth_smallest(spark, lens):
+    """q104's histogram-cumsum bound == the k-th smallest of the raw
+    values with k = ceil(p·n), for both tails, on arbitrary
+    multisets."""
+    from pyspark.sql import Window as W, functions as F
+
+    from rime_wanxiang_logger_spark.operators.policy import (
+        TRIM_HI_PCT,
+        TRIM_LO_PCT,
+    )
+
+    docs = spark.createDataFrame(
+        [("xx", v) for v in lens], "lang string, n_chars long"
+    )
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("n"))
+    wl = W.partitionBy("lang").orderBy("n_chars")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("n").over(wl.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(W.partitionBy("lang")).alias("n_docs"),
+    )
+    lo_k = F.expr(f"({TRIM_LO_PCT} * n_docs + 99) div 100")
+    hi_k = F.expr(f"({TRIM_HI_PCT} * n_docs + 99) div 100")
+    (row,) = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") >= lo_k, F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_k, F.col("n_chars"))).alias("hi"),
+    ).collect()
+    srt = sorted(lens)
+    n = len(srt)
+    want_lo = srt[-(-TRIM_LO_PCT * n // 100) - 1]  # ceil, 1-indexed
+    want_hi = srt[-(-TRIM_HI_PCT * n // 100) - 1]
+    assert (row["lo"], row["hi"]) == (want_lo, want_hi), (row, srt)
