@@ -106,6 +106,12 @@ try:  # pragma: no cover
     _MODULES.append(policy)
 except ImportError:
     pass
+try:  # pragma: no cover
+    from . import tpch_extra
+
+    _MODULES.append(tpch_extra)
+except ImportError:
+    pass
 
 
 # Round-1 driver CORRECTNESS verified exactly the first 50 registry

@@ -1171,3 +1171,30 @@ def test_q109_drift_two_phase_topk_no_unpartitioned_window(spark, sf_dir):
     for r in rows:
         assert 1 <= r["rnk"] <= DRIFT_TOPK
         assert r["drift_score"] >= 0.0
+
+
+def test_q112_q7_broadcast_roles_and_date_pushdown(spark, sf_dir):
+    """Q7 shape: both nation roles broadcast, both date bounds pushed
+    to the lineitem scan (year extraction must not block pushdown)."""
+    from rime_wanxiang_logger_spark.operators.tpch_extra import q112_tpch_q7
+
+    df = q112_tpch_q7(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, filters
+    assert "GreaterThanOrEqual" in filters and "LessThan" in filters, filters
+
+
+def test_q113_q20_decorrelates_to_semi_join(spark, sf_dir):
+    """Q20 shape: the nested correlated-aggregate membership must land
+    as aggregate → semi-join — no per-row Subquery in the physical
+    plan, part filter pushed to its scan."""
+    from rime_wanxiang_logger_spark.operators.tpch_extra import q113_tpch_q20
+
+    df = q113_tpch_q20(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Subquery" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "StringStartsWith(p_name,red)" in " ".join(pushed_filters(df))
+    assert df.count() > 0

@@ -461,3 +461,50 @@ def test_stateful_page_rank_parity(spark, tmp_path):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_hourly_rollup_on_rocksdb_state_store(spark, sf_dir):
+    """The docs claim the scale path swaps the default HDFS-backed
+    state store for RocksDB (SURVEY §7.3.6) — prove the swap is real:
+    the same windowed aggregation drained under
+    RocksDBStateStoreProvider yields the identical result set."""
+    from pyspark.sql import functions as F
+
+    import rime_wanxiang_logger_spark.streaming.twin as st
+
+    def drain(name):
+        ev = st.read_events_stream(spark, sf_dir)
+        rolled = (
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").cast("timestamp_ntz").alias("h"),
+                "n_events",
+            )
+        )
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["h"], r["n_events"]) for r in spark.table(name).collect()
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = drain("rocks_ref_sink")
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = drain("rocks_sink")
+    finally:
+        spark.conf.set(key, old)
+    assert rocks == default and len(rocks) > 0
