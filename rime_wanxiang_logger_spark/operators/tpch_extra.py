@@ -1,5 +1,5 @@
-"""TPC-H shape pack 2 (extensions; no reference citation — §2.11b's
-join/subquery surface widened with the two classic shapes it lacked).
+"""Join/window shape pack (extensions; no reference citation —
+§2.11b's relational surface widened with the four shapes it lacked).
 
 q112_tpch_q7    volume shipping: revenue between two trading nations
                 by supplier-nation × customer-nation × ship year —
@@ -14,12 +14,24 @@ q113_tpch_q20   the nested-IN-with-correlated-aggregate shape: ship
                 the inner correlated aggregate runs on lineitem — the
                 decorrelation shape, agg→HAVING→semi-join, is
                 identical.)
+q114_full_outer_reconcile  the FULL OUTER join (no other query uses
+                one): hourly click volume vs purchase volume with
+                both-null sides surfaced as reconciliation statuses —
+                the side-by-side ledger-diff idiom.
+q115_range_frame_trailing  the interval RANGE window frame (every
+                other window here is a ROWS frame or a peer frame):
+                per event, the trailing-1-hour event count and exact
+                value sum for the same user.
 
-Scale design: every dimension (nation, part-filtered, supplier) rides
-a broadcast; the only corpus-scale shuffles are the fact-side
-aggregates. The year extraction happens AFTER the pushed date-range
-filter so the scan prunes on the raw column (plan test: both date
-bounds in PushedFilters).
+Scale design: q112/q113 broadcast every dimension; the only
+corpus-scale shuffles are fact-side aggregates, and year extraction
+happens AFTER the pushed date-range filter so the scan prunes on the
+raw column (plan test). q114 joins two PRE-AGGREGATED hourly tables
+(bounded by the time domain) — never a full-outer of raw facts. q115
+is one exchange on user_id; the trailing sum is kept EXACT by summing
+integer cents (a windowed float sum is evaluation-order-dependent —
+DuckDB's segment tree vs Spark's running accumulator would diverge in
+the last ulp).
 """
 
 from __future__ import annotations
@@ -147,9 +159,74 @@ def q113_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q114_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly click vs purchase volumes, FULL OUTER joined on the hour
+    — hours where either side is silent surface as one-sided rows with
+    an explicit status, the ledger-reconciliation idiom. The join runs
+    on two pre-aggregated hourly tables (bounded by the time domain,
+    never raw facts)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+
+    def hourly(kind: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == kind)
+            .groupBy(hour.alias("h"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    clicks = hourly("click", "n_clicks")
+    buys = hourly("purchase", "n_purchases")
+    status = (
+        F.when(F.col("n_clicks").isNull(), F.lit("purchases_only"))
+        .when(F.col("n_purchases").isNull(), F.lit("clicks_only"))
+        .otherwise(F.lit("both"))
+    )
+    return clicks.join(buys, "h", "full_outer").select(
+        F.unix_micros(F.col("h").cast("timestamp")).alias("hour_us"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        status.alias("status"),
+    )
+
+
+TRAIL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def q115_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the same user's event count and EXACT value sum over
+    the trailing hour — the interval RANGE frame (peers included by
+    VALUE distance, not row position). The sum stays exact as integer
+    cents; one exchange on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    from pyspark.sql import Window as W
+
+    base = ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-TRAIL_US, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("cents_1h"),
+    )
+
+
 QUERIES = {
     "q112_tpch_q7": q112_tpch_q7,
     "q113_tpch_q20": q113_tpch_q20,
+    "q114_full_outer_reconcile": q114_full_outer_reconcile,
+    "q115_range_frame_trailing": q115_range_frame_trailing,
 }
 
 ORACLE = {
@@ -183,5 +260,37 @@ ORACLE = {
             GROUP BY l_suppkey, l_partkey
             HAVING SUM(l_quantity) > {Q20_QTY_THRESHOLD}
           )
+    """,
+    "q114_full_outer_reconcile": """
+        WITH clicks AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 COUNT(*) AS n_clicks
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        ), buys AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 COUNT(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT epoch_us(COALESCE(c.h, b.h)) AS hour_us,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(b.n_purchases, 0) AS n_purchases,
+               CASE WHEN c.h IS NULL THEN 'purchases_only'
+                    WHEN b.h IS NULL THEN 'clicks_only'
+                    ELSE 'both' END AS status
+        FROM clicks c FULL OUTER JOIN buys b ON b.h = c.h
+    """,
+    "q115_range_frame_trailing": f"""
+        WITH base AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, user_id, ts_us,
+               COUNT(*) OVER w AS n_1h,
+               CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW)
     """,
 }
