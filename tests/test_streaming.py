@@ -508,3 +508,43 @@ def test_hourly_rollup_on_rocksdb_state_store(spark, sf_dir):
     finally:
         spark.conf.set(key, old)
     assert rocks == default and len(rocks) > 0
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Restart-with-backlog: after a drain commits its checkpoint, a
+    restart that finds NEW source files must process exactly those —
+    every event lands exactly once across the two runs (the
+    incremental-ingest contract a nightly pipeline restarts on)."""
+    import glob
+    import shutil
+
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ev = load_table(spark, SMALL_SF, "events")
+
+    def stage_half(rem: int, name: str) -> None:
+        tmp = str(tmp_path / f"half{rem}")
+        ev.where(F.col("event_id") % 2 == rem).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(tmp + "/part-*.parquet")
+        shutil.copy(part, str(stage / name))
+
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    stage_half(0, "events_a.parquet")
+    st.stream_to_parquet_foreachbatch(
+        st.read_events_stream(spark, str(stage)), out, chk
+    )
+    n1 = spark.read.parquet(out).count()
+    # second file arrives; SAME checkpoint → only the delta processed
+    stage_half(1, "events_b.parquet")
+    st.stream_to_parquet_foreachbatch(
+        st.read_events_stream(spark, str(stage)), out, chk
+    )
+    got = spark.read.parquet(out)
+    total = ev.count()
+    assert n1 == ev.where(F.col("event_id") % 2 == 0).count()
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
