@@ -164,3 +164,31 @@ def test_misses_csv_quarantines_malformed(spark, sf_dir, tmp_path):
     back = read_misses_csv(spark, out).cache()
     assert back.count() == n_rows + 1
     assert back.where(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_schema_evolution_merge_reads_both_generations(spark, sf_dir, tmp_path):
+    """Lake reality: table schemas grow over time. Two parquet
+    generations — the base events and a later one with an added
+    column — must read back as ONE table under mergeSchema, with the
+    union schema, nulls for the missing column in old files, and no
+    rows lost. (Production pins this with an explicit schema registry;
+    mergeSchema is the discovery path.)"""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "evolved")
+    old_half = ev.where(F.col("event_id") % 2 == 0)
+    new_half = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "schema_ver", F.lit(2)
+    )
+    old_half.write.parquet(out + "/gen=1")
+    new_half.write.parquet(out + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        out + "/gen=1", out + "/gen=2"
+    )
+    assert "schema_ver" in merged.columns
+    assert merged.count() == ev.count()
+    assert merged.where(F.col("schema_ver").isNull()).count() == old_half.count()
+    assert merged.where(F.col("schema_ver") == 2).count() == new_half.count()
