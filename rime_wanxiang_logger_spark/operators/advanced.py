@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.stable import dsum, dsum_expr
 from ..sources.readers import fanout, load_table
-from .similarity import _dot, _norm, _vecs
+from .similarity import QUERY_PRED_SQL, _dot, _norm, _vecs, query_subset
 
 N_CELLS = 8
 # nprobe=3 measured recall@3 0.80-0.87 vs the exact q26 baseline on the
@@ -61,7 +61,10 @@ N_CELLS = 8
 # floor). Real corpora with cluster structure do better at lower nprobe.
 NPROBE = 3
 IVF_TOPK = 3
-IVF_QUERY_STRIDE = 100  # vec_id % stride == 0 → query set (as q26)
+# Query set = similarity.query_subset — the SAME capped strided subset
+# as q26 (≤ QUERY_K rows at any corpus scale), so q111's recall
+# comparison joins identical query populations and the broadcast side
+# of the probe join is constant-size (r4 VERDICT "what's wrong" #1).
 
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1998-01-01"
@@ -112,7 +115,7 @@ def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vecs(spark, sf_dir)
     assign, cent = _centroids(v)
     cent = cent.withColumn("cn", _norm("cv"))
-    q = v.where(F.col("vec_id") % IVF_QUERY_STRIDE == 0).select(
+    q = query_subset(v).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("vq"),
         _norm("v").alias("nq"),
     )
@@ -412,7 +415,7 @@ _IVF_CTE = f"""
         ),
         q AS (
           SELECT vec_id AS q_id, v AS vq, nrm AS nq FROM v
-          WHERE vec_id % {IVF_QUERY_STRIDE} = 0
+          WHERE {QUERY_PRED_SQL.format(t="")}
         ),
         probes AS (
           SELECT q_id, cell FROM (

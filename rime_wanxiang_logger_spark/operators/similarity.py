@@ -39,7 +39,27 @@ from ..sources.readers import fanout, load_table
 
 NEARDUP_THRESHOLD = 0.35
 TOPK = 3
-QUERY_STRIDE = 100  # vec_id % stride == 0 → query set
+#: ANN query set = the QUERY_K smallest vec_ids on the QUERY_STRIDE
+#: grid, i.e. ``vec_id % STRIDE == 0 AND vec_id < STRIDE * K``. The
+#: cap is the r4-VERDICT scale fix ("what's wrong" #1): the former
+#: pure-stride set was 1% OF THE CORPUS, so q26's broadcast side (and
+#: q44/q111's, which import these constants) grew linearly with the
+#: data — at 100× scale that is a driver/executor OOM and O(n²/100)
+#: total work. With the cap the query set is ≤ K rows AT ANY CORPUS
+#: SCALE: the broadcast stays O(K·d) ≈ 256 KB, total work O(K·n) —
+#: a linear scan — and a 500-query sample still gives the recall
+#: curve (q111) ±4 pp at 95% confidence. Pure filter, no top-k pass
+#: needed to select the queries. At sf ≤ 0.1 (< 50 000 vectors) the
+#: set is identical to the old stride-only one, so recorded results
+#: are unchanged by construction.
+QUERY_STRIDE = 100
+QUERY_K = 500
+#: Mirrored in every oracle that builds the query set; ``{t}`` is the
+#: table alias (empty-prefix form: ``QUERY_PRED_SQL.format(t="")``).
+QUERY_PRED_SQL = (
+    f"{{t}}vec_id % {QUERY_STRIDE} = 0"
+    f" AND {{t}}vec_id < {QUERY_STRIDE * QUERY_K}"
+)
 N_PLANES = 8
 #: Embedding dimensionality — fixed by the corpus contract (FIXTURES:
 #: embeddings.embedding is a 64-element float array; the DuckDB oracle
@@ -496,11 +516,22 @@ def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_subset(v: DataFrame) -> DataFrame:
+    """The constant-size ANN query set (see QUERY_K): a pure filter —
+    pushed to the parquet scan — selecting ≤ QUERY_K rows at any
+    corpus scale, so callers may broadcast the result unconditionally."""
+    return v.where(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < QUERY_STRIDE * QUERY_K)
+    )
+
+
 def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k neighbors for the strided query subset; query side
-    broadcast, corpus side streamed."""
+    """Exact top-k neighbors for the capped strided query subset
+    (≤ QUERY_K queries at any scale); query side broadcast — O(K·d),
+    constant in the corpus — corpus side streamed, no corpus shuffle."""
     v = _vecs(spark, sf_dir)
-    q = v.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    q = query_subset(v).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("vq"),
         _norm("v").alias("nq"),
@@ -734,7 +765,7 @@ ORACLE = {
                  round({_DOT_DUCK.format(a="q.v", b="c.v")} / (q.nrm * c.nrm), 9)
                    AS cosine
           FROM v q JOIN v c ON q.vec_id <> c.vec_id
-          WHERE q.vec_id % {QUERY_STRIDE} = 0
+          WHERE {QUERY_PRED_SQL.format(t="q.")}
         )
         SELECT q_id,
                CAST(row_number() OVER
