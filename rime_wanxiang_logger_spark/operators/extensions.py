@@ -85,6 +85,26 @@ class _stream_state_width:
         return False
 
 
+def _assert_single_batch(q) -> None:
+    """q107/q110's oracle parity rests on the availableNow drain being
+    ONE micro-batch: per-key arrival order is only total within a
+    batch, so a multi-batch drain (e.g. a future multi-file source
+    directory plus maxFilesPerTrigger) could silently diverge from the
+    SQL oracle's (ts, event_id) ordering. Fail loudly instead
+    (ADVICE r4 #3). Counts DATA batches — availableNow may append an
+    empty finalization batch (numInputRows == 0), which cannot reorder
+    anything."""
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    if len(data_batches) > 1:  # pragma: no cover - config regression trap
+        raise AssertionError(
+            f"{q.name}: drain split into {len(data_batches)} micro-batches;"
+            " per-key cross-batch ordering is not oracle-comparable —"
+            " coalesce the source to one file or drop maxFilesPerTrigger"
+        )
+
+
 PRICE_BAND_WIDTH = 100_000.0
 N_PRICE_BANDS = 7  # covers o_totalprice up to 700k
 SALT_BUCKETS = 16
@@ -590,7 +610,12 @@ def q92_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup_admit_stream(spark, stream, sf_dir)
             .writeStream.format("memory")
             .queryName("q92_dedup_admit_sink")
-            .outputMode("complete")
+            # UPDATE mode (r5): the admit aggregate is watermarked per
+            # (admission window, doc), so state evicts as the watermark
+            # advances — the unbounded-stream shape. Each doc's verdict
+            # is final in the batch that delivered the doc (the twin's
+            # docstring), so the update rows ARE the verdict set.
+            .outputMode("update")
             .trigger(availableNow=True)
             .start()
         )
@@ -601,12 +626,14 @@ def q92_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 sessionization executed through Structured Streaming —
     ``F.session_window`` with the q33 gap, drained availableNow into a
-    complete-mode memory sink (the q43/q92 registration pattern).
+    complete-mode memory sink (the q43 registration pattern).
 
     q33 is the batch lag+cumsum formulation of the same sessions; this
     row certifies the STREAMING merge-on-overlap implementation against
-    an independent SQL oracle (islands flagged with ``diff >= gap``,
-    matching session_window's boundary rule — see
+    an independent SQL oracle (islands flagged with ``diff > gap`` —
+    an exact-gap event still merges, matching session_window's
+    boundary rule and the pinned
+    test_q100_session_window_boundary_rule — see
     streaming/twin.session_report_stream). Complete mode because the
     oracle needs every session; the unbounded form is watermark +
     append.
@@ -685,6 +712,7 @@ def q107_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _assert_single_batch(q)
     return spark.table("q107_stateful_asof_sink")
 
 
@@ -715,6 +743,7 @@ def q110_stream_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _assert_single_batch(q)
     return spark.table("q110_stream_page_rank_sink").select(
         "event_id",
         F.col("session_id").alias("user_id"),

@@ -428,7 +428,24 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def dedup_admit_stream(spark, new_docs: DataFrame, sf_dir: str) -> DataFrame:
+#: Synthetic admission clock for the admit stream: a deterministic
+#: event time derived from doc_id (epoch 2024-01-01T00:00:00Z + doc_id
+#: seconds), so the pipeline is oracle-replayable without a wall clock.
+#: A production deployment substitutes the real ingest timestamp by
+#: shipping an ``admit_ts`` column on the stream's band rows; only the
+#: clock source changes, the state shapes below are identical.
+ADMIT_EPOCH_S = 1704067200
+ADMIT_TS_EXPR = f"timestamp_seconds({ADMIT_EPOCH_S} + doc_id)"
+ADMIT_WATERMARK = "2 hours"
+ADMIT_WINDOW = "1 hour"
+
+
+def dedup_admit_stream(
+    spark,
+    new_docs: DataFrame,
+    sf_dir: str,
+    watermark: str = ADMIT_WATERMARK,
+) -> DataFrame:
     """q86's incremental-dedup admit pass on an UNBOUNDED new-doc
     stream: per arriving document, its band-collision partner count
     against the standing corpus and the admit verdict.
@@ -438,20 +455,31 @@ def dedup_admit_stream(spark, new_docs: DataFrame, sf_dir: str) -> DataFrame:
     streams unchanged — the BATCH helper runs verbatim on the stream
     (fanout is stream-safe since r4, so no drift-prone copy) — and the
     plan is project → explode bands → STREAM-STATIC join against the
-    persisted corpus band table → per-doc aggregate.
+    persisted corpus band table → watermarked pair dedup → watermarked
+    per-doc aggregate.
 
-    State contract (ADVICE r3): this query is bounded to ONE admission
-    batch per query start — the q86 batch semantics. The static side is
-    fixed at query start (the nightly-refreshed band table in
-    production), and both stores that grow with input — the
-    dropDuplicates pair state and the complete-mode aggregate — are
-    keyed by the admitted batch's docs, i.e. O(batch), not O(stream).
-    A perpetual admit service restarts the query per admission window
-    (when it also refreshes the band table); it must NOT feed this
-    query a genuinely unbounded stream.
+    State is bounded at ANY stream length (r4 VERDICT "next round" #3
+    retired the former one-admission-batch contract):
 
-    Batch-parity tested against q86 on the same staged files
-    (tests/test_streaming.py).
+    - duplicate deliveries of a (doc, partner) pair are suppressed by
+      ``dropDuplicatesWithinWatermark`` — its store holds only pairs
+      younger than the watermark horizon, O(rate × horizon), exactly
+      the ``dedup_stream`` pattern above;
+    - verdicts aggregate under ``groupBy(window(admit_ts), doc_id)`` in
+      UPDATE mode, so a group's state evicts once the watermark passes
+      its window — NOT the complete-mode accumulate-forever shape.
+      Every pair of a doc lands in the micro-batch that delivered the
+      doc (stream-static joins are stateless), so the verdict a batch
+      emits is already final; later duplicate deliveries inside the
+      horizon re-emit the same values, never double-count.
+
+    The admission clock is the deterministic ADMIT_TS_EXPR (see above).
+    The standing band table is fixed at query start (nightly-refreshed
+    in production — restart the query to pick up a new corpus; the
+    restart no longer bounds how long a single query may run).
+
+    Batch-parity vs q86 and the ≥3-window bounded-state property are
+    pinned in tests/test_streaming.py.
     """
     from ..operators.dedup import _bands, _signatures
     from ..sources.readers import load_table
@@ -471,11 +499,19 @@ def dedup_admit_stream(spark, new_docs: DataFrame, sf_dir: str) -> DataFrame:
             F.col("n.doc_id").alias("doc_id"),
             F.col("c.doc_id").alias("partner"),
         )
-        .dropDuplicates(["doc_id", "partner"])
+        .withColumn("admit_ts", F.expr(ADMIT_TS_EXPR))
+        .withWatermark("admit_ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "partner"])
     )
-    return cand.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_cand"),
-        F.min("partner").alias("first_partner"),
+    return (
+        cand.groupBy(
+            F.window("admit_ts", ADMIT_WINDOW).alias("win"), F.col("doc_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.min("partner").alias("first_partner"),
+        )
+        .select("doc_id", "n_cand", "first_partner")
     )
 
 

@@ -275,7 +275,7 @@ def test_dedup_admit_stream_parity(spark, tmp_path):
         .load(str(src))
     )
     q = st.run_stream_to_memory(
-        st.dedup_admit_stream(spark, stream, sf), "admit", "complete"
+        st.dedup_admit_stream(spark, stream, sf), "admit", "update"
     )
     try:
         got = {
@@ -289,6 +289,105 @@ def test_dedup_admit_stream_parity(spark, tmp_path):
         }
         assert got == batch
         assert batch  # non-vacuous: some collisions exist
+    finally:
+        q.stop()
+
+
+def test_dedup_admit_stream_unbounded_state(spark, tmp_path):
+    """The admit stream must survive ≥3 successive admission windows
+    with BOUNDED state (r4 VERDICT #3 retired the one-admission-batch
+    contract): verdicts stay correct across micro-batches while the
+    pair-dedup and aggregate stores evict rows the watermark passed.
+
+    Three admission files, 4 h of synthetic admit-clock apart
+    (admit_ts = epoch + doc_id s, so the offsets land each file in its
+    own 1 h window, 2 h watermark long gone between files), fed one
+    file per trigger → ≥3 data micro-batches."""
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        _bands,
+        _signatures,
+    )
+
+    sf = SMALL_SF
+    corpus = spark.read.parquet(f"{sf}/documents.parquet")
+    src = tmp_path / "admissions"
+    src.mkdir()
+    gap_s = 4 * 3600  # > watermark + window, so earlier state expires
+    base = 1_000_000
+    for i in range(3):
+        # admitted docs = corpus texts under fresh ids → guaranteed
+        # band collisions vs the standing corpus, none vs each other
+        (
+            corpus.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(base + i * gap_s)
+            )
+            .coalesce(1)
+            .write.parquet(str(src / f"w{i}"))
+        )
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = st.run_stream_to_memory(
+        st.dedup_admit_stream(spark, stream, sf), "admit_multi", "update"
+    )
+    try:
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(progress) >= 3  # genuinely multi-batch
+        got = {
+            r["doc_id"]: (r["n_cand"], r["first_partner"])
+            for r in spark.table("admit_multi").collect()
+        }
+        # expected verdicts: the same band join computed in ONE batch
+        # pass per admission file (the q86-parity test covers the
+        # join's correctness independently; this checks multi-batch
+        # delivery changes nothing)
+        new_all = spark.read.option("recursiveFileLookup", "true").parquet(
+            str(src)
+        )
+        nb = _bands(_signatures(new_all)).alias("n")
+        cb = _bands(_signatures(corpus)).alias("c")
+        exp = {
+            r["doc_id"]: (r["n_cand"], r["first_partner"])
+            for r in (
+                nb.join(cb, ["band", "bsig"])
+                .where(F.col("n.doc_id") != F.col("c.doc_id"))
+                .select(
+                    F.col("n.doc_id").alias("doc_id"),
+                    F.col("c.doc_id").alias("partner"),
+                )
+                .distinct()
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_cand"),
+                    F.min("partner").alias("first_partner"),
+                )
+                .collect()
+            )
+        }
+        assert got == exp
+        assert len(got) >= 3 * 30  # plenty of verdicts per window
+        # Bounded state: the final batch's stores must NOT hold the
+        # full history. Without eviction the dedup store alone would
+        # hold every (doc, partner) pair ever seen (= sum of emitted
+        # n_cand) and the agg store every verdict. Watermark cleanup
+        # runs one batch behind (window i's rows evict while batch
+        # i+2 processes), so after 3 batches the stores hold at most
+        # the last TWO windows — the steady state is O(2 windows ×
+        # rate) regardless of stream length. Observed: exactly 2/3
+        # (batch 1 fully evicted during batch 3).
+        total_pairs = sum(n for n, _ in got.values())
+        final_state = sum(
+            s["numRowsTotal"] for s in progress[-1]["stateOperators"]
+        )
+        assert final_state <= ((total_pairs + len(got)) * 2 + 2) // 3, (
+            final_state,
+            total_pairs,
+            len(got),
+        )
     finally:
         q.stop()
 
