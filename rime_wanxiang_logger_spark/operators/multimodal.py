@@ -19,10 +19,14 @@ q51_frame_sample       binary payload → N sampled "frames" per item
                        SAMPLE_STRIDE-th frame is emitted with its
                        checksum)
 
-``make_pil_resize`` is the production extension point: the same batch
-shape and output schema as q87's fake body, with PIL doing the decode
-and thumbnail — capability-gated via ``has_pil()`` and contract-tested
-(tests/test_multimodal_contract.py, skipped where PIL is absent).
+``image_resize`` / ``feature_extract`` are the production operators:
+capability-dispatched (``decoder/encoder="auto"`` → PIL when
+importable, the deterministic fake otherwise) with one shared batch
+shape, schema and checksum contract per operator, pinned by
+tests/test_multimodal_contract.py (PIL halves skip where it is
+absent). The REGISTERED q87/q88 pin the fake body because the
+testdata payloads are UTF-8 text and their DuckDB oracles replay the
+fake derivations — the dispatch is the seam, not the registered row.
 """
 
 from __future__ import annotations
@@ -236,20 +240,14 @@ RESIZE_BOX = 32  # thumbnail bounding box (px)
 FEAT_DIMS = 8  # fake feature-vector width
 
 
-def q87_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: binary payload → source dims (fake decode) →
-    aspect-preserving fit into a RESIZE_BOX square → output dims +
-    passthrough checksum, all inside one Arrow ``mapInPandas`` stage.
-    A real pipeline swaps the closure body for PIL's ``thumbnail``;
-    batch shape, schema, filter and parallelism are the production
-    plumbing. Only downscales (scale capped at 1.0), floors to ≥1 px —
-    the exact float semantics the SQL oracle replays."""
-    bt = fanout(
-        binary_table(spark, sf_dir)
-        .select("doc_id", "payload")
-        .where(F.length("payload") > 0)
-    )
-    box = RESIZE_BOX
+def make_fake_resize(box: int | None = None):
+    """FAKE resize body: byte-derived source dims (the shared fake
+    decode), aspect-preserving fit into a ``box`` square (scale capped
+    at 1.0, floors to ≥1 px — the exact float semantics the SQL oracle
+    replays), passthrough md5 checksum. Closure on purpose — see
+    make_fake_decode_batch."""
+    if box is None:
+        box = RESIZE_BOX
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -285,25 +283,63 @@ def q87_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return bt.mapInPandas(
-        resize,
-        schema=(
-            "doc_id bigint, src_w bigint, src_h bigint,"
-            " out_w bigint, out_h bigint, checksum string"
-        ),
+    return resize
+
+
+def image_resize(
+    bt: DataFrame, box: int | None = None, decoder: str = "auto"
+) -> DataFrame:
+    """OPERATOR-level resize over a (doc_id, payload<binary>) table —
+    the capability-dispatched seam (r4 VERDICT "next round" #6):
+
+    - ``decoder="pil"``  — real decode + ``Image.thumbnail`` (PIL must
+      be importable on the executors; payloads must be image bytes)
+    - ``decoder="fake"`` — the deterministic byte-derived body (runs
+      anywhere, SQL-replayable)
+    - ``decoder="auto"`` — PIL when importable, fake otherwise
+
+    Both bodies share the batch shape, output schema (_RESIZE_SCHEMA)
+    and checksum semantics (contract-tested in
+    tests/test_multimodal_contract.py), so the dispatch never changes
+    the downstream plan or schema — only the decode bytes→dims step.
+    """
+    if decoder == "auto":
+        decoder = "pil" if has_pil() else "fake"
+    if decoder == "pil":
+        body = make_pil_resize(box)
+    elif decoder == "fake":
+        body = make_fake_resize(box)
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown decoder {decoder!r}")
+    return fanout(
+        bt.select("doc_id", "payload").where(F.length("payload") > 0)
+    ).mapInPandas(body, schema=_RESIZE_SCHEMA)
+
+
+def q87_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through the ``image_resize`` operator, pinned to
+    ``decoder="fake"``: the registered corpus payloads are UTF-8 text
+    (no real media ships with the testdata) and the DuckDB oracle
+    replays the fake's byte-derived dims, so the registered row must
+    stay decoder-stable even on hosts where PIL exists. Production
+    callers on real image bytes use ``image_resize(bt)`` (auto) and get
+    PIL wherever it is importable — same schema, same checksum
+    passthrough, identical plan shape."""
+    return image_resize(
+        binary_table(spark, sf_dir), box=RESIZE_BOX, decoder="fake"
     )
 
 
-def q88_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction plumbing: binary payload → FEAT_DIMS-dim
-    deterministic fake embedding, emitted LONG FORM (doc_id, dim,
-    feat) so every element is oracle-value-checked without array-type
-    stringification hazards. The closure body is where a real pipeline
-    runs its vision/audio encoder; feature f_i derives from
-    md5(payload ‖ '|' ‖ i) so the Spark/DuckDB comparison covers the
-    whole batch path."""
-    bt = fanout(binary_table(spark, sf_dir).select("doc_id", "payload"))
-    dims = FEAT_DIMS
+_FEAT_SCHEMA = "doc_id bigint, dim int, feat double"
+
+
+def make_fake_features(dims: int | None = None):
+    """FAKE encoder body: feature f_i derives from
+    md5(payload ‖ '|' ‖ i), emitted LONG FORM (doc_id, dim, feat in
+    [0,1)) so every element is oracle-value-checked without array-type
+    stringification hazards. Closure on purpose."""
+    if dims is None:
+        dims = FEAT_DIMS
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -327,8 +363,73 @@ def q88_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": out_doc, "dim": out_dim, "feat": out_feat}
             )
 
-    return bt.mapInPandas(
-        extract, schema="doc_id bigint, dim int, feat double"
+    return extract
+
+
+def make_pil_features(dims: int | None = None):
+    """REAL encoder body for the q88 seam: PIL decodes the payload,
+    features are the normalized ``dims``-bucket grayscale-intensity
+    histogram — a deterministic, library-only stand-in for a vision
+    encoder with the same LONG-FORM contract as the fake (dims rows
+    per doc, feat ∈ [0,1], contract-tested where PIL exists). Closure;
+    PIL imports inside it so only executors need the library."""
+    if dims is None:
+        dims = FEAT_DIMS
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pandas as _pd
+        from PIL import Image as _Image
+
+        for pdf in batches:
+            out_doc, out_dim, out_feat = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = list(_Image.open(_io.BytesIO(b)).convert("L").getdata())
+                n = max(1, len(px))
+                counts = [0] * dims
+                for v in px:
+                    counts[v * dims // 256] += 1
+                for i in range(dims):
+                    out_doc.append(doc_id)
+                    out_dim.append(i)
+                    out_feat.append(round(counts[i] / n, 9))
+            yield _pd.DataFrame(
+                {"doc_id": out_doc, "dim": out_dim, "feat": out_feat}
+            )
+
+    return extract
+
+
+def feature_extract(
+    bt: DataFrame, dims: int | None = None, encoder: str = "auto"
+) -> DataFrame:
+    """OPERATOR-level feature extraction over a (doc_id, payload)
+    table — same capability dispatch as ``image_resize``: ``"pil"``
+    runs the histogram encoder (real decode), ``"fake"`` the
+    md5-derived body, ``"auto"`` picks PIL when importable. Both share
+    _FEAT_SCHEMA and the dims-rows-per-doc shape."""
+    if encoder == "auto":
+        encoder = "pil" if has_pil() else "fake"
+    if encoder == "pil":
+        body = make_pil_features(dims)
+    elif encoder == "fake":
+        body = make_fake_features(dims)
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown encoder {encoder!r}")
+    return fanout(bt.select("doc_id", "payload")).mapInPandas(
+        body, schema=_FEAT_SCHEMA
+    )
+
+
+def q88_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing through the ``feature_extract``
+    operator, pinned to ``encoder="fake"`` for the same reason as q87:
+    the corpus payloads are text and the oracle replays the md5
+    derivation. Production callers on real media use
+    ``feature_extract(bt)`` (auto)."""
+    return feature_extract(
+        binary_table(spark, sf_dir), dims=FEAT_DIMS, encoder="fake"
     )
 
 

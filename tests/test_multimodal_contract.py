@@ -19,9 +19,16 @@ import pandas as pd
 import pytest
 
 from rime_wanxiang_logger_spark.operators.multimodal import (
+    FEAT_DIMS,
     RESIZE_BOX,
+    binary_table,
+    feature_extract,
+    has_pil,
+    image_resize,
+    make_pil_features,
     make_pil_resize,
     q87_image_resize,
+    q88_feature_extract,
 )
 
 RESIZE_COLS = ["doc_id", "src_w", "src_h", "out_w", "out_h", "checksum"]
@@ -71,6 +78,59 @@ def test_fake_resize_same_columns_as_real(spark, sf_dir):
     real body is pinned to above — so the swap never changes the
     downstream schema. Runs everywhere (no PIL needed)."""
     assert q87_image_resize(spark, sf_dir).columns == RESIZE_COLS
+
+
+def test_image_resize_auto_dispatch(spark, sf_dir):
+    """``image_resize(decoder="auto")`` must resolve to the body the
+    capability gate picks: where PIL is absent (this container) it is
+    value-identical to the fake path the registered q87 pins; where
+    PIL exists the auto path is the PIL body, exercised on real PNG
+    payloads in the test above and via Spark below."""
+    bt = binary_table(spark, sf_dir)
+    if not has_pil():
+        auto = image_resize(bt, decoder="auto")
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, q87_image_resize(spark, sf_dir).collect())
+        )
+    else:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (100, 40)).save(buf, format="PNG")
+        png = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        )
+        row = image_resize(png, decoder="auto").collect()[0]
+        assert (row.src_w, row.src_h) == (100, 40)
+        assert max(row.out_w, row.out_h) <= RESIZE_BOX
+
+
+def test_feature_extract_auto_dispatch(spark, sf_dir):
+    """Same dispatch contract for the encoder seam: fake where PIL is
+    absent (== the registered q88), PIL histogram features where it
+    exists (dims rows per doc, each in [0, 1], summing to ~1)."""
+    bt = binary_table(spark, sf_dir)
+    if not has_pil():
+        auto = feature_extract(bt, encoder="auto")
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, q88_feature_extract(spark, sf_dir).collect())
+        )
+    else:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), color=200).save(buf, format="PNG")
+        out = _run_closure(
+            make_pil_features(FEAT_DIMS),
+            pd.DataFrame({"doc_id": [1], "payload": [buf.getvalue()]}),
+        )
+        assert len(out) == FEAT_DIMS
+        assert all(0.0 <= f <= 1.0 for f in out["feat"])
+        assert abs(out["feat"].sum() - 1.0) < 1e-6
 
 
 def test_documents_corpus_is_ascii(spark, sf_dir):
