@@ -344,6 +344,56 @@ def test_q68_tfidf_one_corpus_pass(spark, sf_dir):
     assert len(read_schema_columns(df)) <= 2, plan  # corpus + count-only
 
 
+def test_q35_asof_is_one_window_no_join(spark, sf_dir):
+    """The as-of 'join' must stay the single-relation window
+    formulation: ONE Window over ONE user_id exchange, and no join
+    operator anywhere — an interval join here would buffer a per-user
+    cross product at scale."""
+    from rime_wanxiang_logger_spark.operators.extensions import q35_asof_join
+
+    df = q35_asof_join(spark, sf_dir)
+    plan = explain_str(df)
+    assert op_count(df, "Window") == 1, plan
+    assert shuffle_count(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q36_range_join_broadcasts_band_table(spark, sf_dir):
+    """The non-equi band join is only sane as a broadcast nested loop
+    with the BAND table (bounded: N_PRICE_BANDS literal rows) on the
+    build side — the fact side must stream with no pre-join shuffle.
+    r1-vintage query, plan pinned per r4 VERDICT #7: this is the shape
+    most likely to degrade silently if the band table ever became
+    data-derived and outgrew the broadcast threshold."""
+    from rime_wanxiang_logger_spark.operators.extensions import (
+        N_PRICE_BANDS,
+        _price_bands,
+        q36_range_join,
+    )
+
+    assert _price_bands(spark).count() == N_PRICE_BANDS  # bounded dim
+    df = q36_range_join(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the broadcast build side is the literal band table, not the fact
+    assert "BroadcastExchange" in plan and "LocalTableScan" in plan, plan
+    assert "BuildRight" in plan, plan  # orders.join(broadcast(bands))
+    assert shuffle_count(df) == 1, plan  # only the final groupBy(band)
+
+
+def test_q37_percentiles_never_buffer_groups(spark, sf_dir):
+    """The exact-percentile plan must be the histogram-refinement
+    formulation: Spark's percentile()/ObjectHashAggregate path buffers
+    every value of a group in one aggregate buffer — fact-scale for
+    low-cardinality keys — and must never appear."""
+    from rime_wanxiang_logger_spark.operators.extensions import q37_percentiles
+
+    df = q37_percentiles(spark, sf_dir)
+    plan = explain_str(df)
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "percentile" not in plan.lower(), plan
+
+
 def test_q25_banded_no_corpus_cartesian(spark, sf_dir):
     """The REGISTERED near-dup query must be the banded composition:
     candidate pairs come from an equi-join on band keys, never a
