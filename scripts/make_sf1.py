@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Synthesize an sf1-scale testdata directory (default /tmp/sf1) from
+the driver's read-only sf0.1, for the scale-proof runs recorded in
+BASELINE.md. The driver ships sf0.001/0.01/0.1 only; this builds a
+10×-facts set that preserves the schemas and per-row distributions:
+
+- region/nation/customer/supplier/part: copied verbatim (dimensions
+  grow slower than facts at scale — broadcast sides stay bounded,
+  which is exactly the engine's 100 TB design claim).
+- orders/lineitem: 10 key-shifted replicas (orderkeys offset per
+  replica, so orders↔lineitem referential integrity holds; cust/
+  supp/part keys untouched → 10× facts per dimension row).
+- events: 10 replicas with event_id shifted and ts offset by a full
+  31-day span per replica — per-user event density (sessionization,
+  interval-join state) is unchanged, the time range grows 10×.
+- documents: 50 000 freshly generated docs matching the observed
+  distribution (10–100 words uniform from the same 31-word vocab,
+  5 langs, 20 sources) — NOT replicas: near-identical copies would
+  inflate near-dup pair counts quadratically and corrupt the scaling
+  measurement.
+- embeddings: 20 000 fresh unit-norm 64-dim float32 vectors, 10
+  labels (the driver's own embedding scaling is sublinear — ×4 per
+  ×10 — we use ×10 to stress the similarity plane harder).
+
+Deterministic (fixed seeds). Idempotent: skips tables whose output
+already has the expected row count.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+REPLICAS = 10
+N_DOCS = 50_000
+N_VECS = 20_000
+EMBED_DIM = 64
+
+COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+
+def _count(path: str) -> int:
+    try:
+        return pq.read_metadata(path).num_rows
+    except Exception:  # noqa: BLE001
+        return -1
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in COPY_TABLES:
+        src, dst = f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet"
+        if _count(dst) == _count(src):
+            continue
+        con.execute(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
+        print(f"{t}: copied")
+
+    # orders/lineitem: key-shifted replicas with intact o↔l integrity
+    shift = con.execute(
+        f"SELECT MAX(o_orderkey) + 1 FROM '{SRC}/orders.parquet'"
+    ).fetchone()[0]
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        src, dst = f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet"
+        if _count(dst) == _count(src) * REPLICAS:
+            continue
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE ({key} + {i * shift} AS {key}) FROM '{src}'"
+            for i in range(REPLICAS)
+        )
+        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"{t}: x{REPLICAS} ({_count(dst)} rows)")
+
+    # events: id-shifted, time-shifted replicas (31-day span apart)
+    src, dst = f"{SRC}/events.parquet", f"{OUT}/events.parquet"
+    if _count(dst) != _count(src) * REPLICAS:
+        eshift = con.execute(
+            f"SELECT MAX(event_id) + 1 FROM '{src}'"
+        ).fetchone()[0]
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE (event_id + {i * eshift} AS event_id,"
+            f" ts + INTERVAL {i * 31} DAY AS ts) FROM '{src}'"
+            for i in range(REPLICAS)
+        )
+        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        print(f"events: x{REPLICAS} ({_count(dst)} rows)")
+
+    # documents: fresh generation, observed distribution
+    dst = f"{OUT}/documents.parquet"
+    if _count(dst) != N_DOCS:
+        vocab = [
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
+                f"FROM '{SRC}/documents.parquet' ORDER BY w"
+            ).fetchall()
+        ]
+        langs = ["en", "de", "zh", "fr", "es"]
+        rng = np.random.RandomState(4242)
+        lens = rng.randint(10, 101, size=N_DOCS)
+        texts = [
+            " ".join(np.array(vocab)[rng.randint(0, len(vocab), size=n)])
+            for n in lens
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(N_DOCS), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    [langs[i] for i in rng.randint(0, 5, size=N_DOCS)]
+                ),
+                "source": pa.array(
+                    [f"src{i}" for i in rng.randint(0, 20, size=N_DOCS)]
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(tbl, dst)
+        print(f"documents: generated {N_DOCS}")
+
+    # embeddings: fresh unit-norm vectors
+    dst = f"{OUT}/embeddings.parquet"
+    if _count(dst) != N_VECS:
+        rng = np.random.RandomState(2424)
+        M = rng.normal(size=(N_VECS, EMBED_DIM)).astype(np.float32)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in M],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(
+                    rng.randint(0, 10, size=N_VECS), pa.int32()
+                ),
+            }
+        )
+        pq.write_table(tbl, dst)
+        print(f"embeddings: generated {N_VECS}")
+
+    print(f"sf1 ready at {OUT}")
+
+
+if __name__ == "__main__":
+    main()
