@@ -92,3 +92,22 @@ def test_registry_orders_unverified_before_verified():
 
 def test_every_query_has_an_owner_module():
     assert set(ops.all_queries()) == set(ops._OWNER)
+
+
+def test_verified_rotation_is_oldest_green_first():
+    # r5: among hash-fresh verified names, the driver's leftover cap
+    # slots must land on the STALEST green rows — last-green round
+    # ascending, never newest-first or alphabetical across rounds.
+    names = list(ops.all_queries())
+    verified = [n for n in names if ops._rotation_key(n)[0] == 1]
+    rounds = [ops._DRIVER_VERIFIED_ROUND[n] for n in verified]
+    assert rounds == sorted(rounds), verified
+
+
+def test_verified_round_map_covers_verified_set():
+    # the name-set view and the round map must never drift apart
+    assert set(ops._DRIVER_VERIFIED) == set(ops._DRIVER_VERIFIED_ROUND)
+    assert all(
+        isinstance(r, int) and r >= 1
+        for r in ops._DRIVER_VERIFIED_ROUND.values()
+    )

@@ -1,0 +1,71 @@
+"""Stage-cache contract (operators/_stage_cache.py, SURVEY §2.11g).
+
+The cache must be invisible outside a sharing() scope (plan tests and
+ad-hoc calls see plain plans), providers must REBUILD on every call
+(bench timings stay honest) while refreshing the pin, and consumers
+must read through the pin within a session.
+"""
+
+from __future__ import annotations
+
+from rime_wanxiang_logger_spark.operators import _stage_cache as sc
+
+
+def _builder(spark, calls):
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    return build
+
+
+def test_off_by_default_and_no_store(spark, sf_dir):
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    assert not sc.is_sharing()
+    a = sc.consume(spark, "t_off", sf_dir, build)
+    b = sc.consume(spark, "t_off", sf_dir, build)
+    assert len(calls) == 2  # no read-through outside the scope
+    assert (spark.sparkContext.applicationId, "t_off", sf_dir) not in sc._STORE
+    assert a.collect() == b.collect()
+    # provider outside the scope: plain build result, nothing pinned
+    calls.clear()
+    out = sc.provide(spark, "t_off2", sf_dir, build)
+    assert len(calls) == 1
+    assert (spark.sparkContext.applicationId, "t_off2", sf_dir) not in sc._STORE
+    assert out.count() == 3
+
+
+def test_provider_always_rebuilds_consumer_reads_through(spark, sf_dir):
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    with sc.sharing():
+        assert sc.is_sharing()
+        sc.provide(spark, "t_on", sf_dir, build)
+        sc.provide(spark, "t_on", sf_dir, build)
+        assert len(calls) == 2  # providers never serve from the pin
+        got = sc.consume(spark, "t_on", sf_dir, build)
+        assert len(calls) == 2  # consumer read the pin
+        assert sorted(r.id for r in got.collect()) == [0, 1, 2]
+        # consumer miss: builds once, pins, then reuses
+        sc.consume(spark, "t_on_miss", sf_dir, build)
+        sc.consume(spark, "t_on_miss", sf_dir, build)
+        assert len(calls) == 3
+    assert not sc.is_sharing()  # scope restored
+
+
+def test_scope_is_reentrant(spark, sf_dir):
+    with sc.sharing():
+        with sc.sharing():
+            assert sc.is_sharing()
+        assert sc.is_sharing()  # inner exit must not disable the outer
+    assert not sc.is_sharing()
+
+
+def test_keys_are_session_scoped(spark, sf_dir):
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    with sc.sharing():
+        sc.consume(spark, "t_key", sf_dir, build)
+    key = (spark.sparkContext.applicationId, "t_key", sf_dir)
+    assert key in sc._STORE  # applicationId in the key: no cross-session leak
