@@ -142,16 +142,26 @@ except ImportError:
 #
 # Value = round of the query's most recent green driver row
 # (rows+schema+hash all true in CORRECTNESS_r0{value}.json).
+#
+# r5 drops (plan/mechanics changed this round — driver must re-certify,
+# the r3 q43/q56 policy; all locally verified value-identical against
+# the DuckDB oracle before the round-end hash freeze):
+#   q25/q26/q44/q104 — stage-provider pins + the constant-size ANN
+#     query-set cap (q26/q44's capped query side, mirrored oracles);
+#   q72/q111/q116 — compositions now consume pinned stages;
+#   q92 — unbounded watermarked admit stream (update-mode drain);
+#   q87/q88 — capability-dispatched operator refactor;
+#   q107/q110 — single-batch drain assertion added.
 _DRIVER_VERIFIED_ROUND = {
     # r1 vintage — green in CORRECTNESS_r01.json, never re-checked
     # since (highest rotation priority among verified names).
     "q18_semi_anti": 1, "q19_distinct_union": 1, "q20_rollup": 1,
-    "q21_dedup_exact": 1, "q26_ann_topk": 1, "q28_lang_id": 1,
+    "q21_dedup_exact": 1, "q28_lang_id": 1,
     "q29_text_quality": 1, "q30_token_count": 1, "q31_fingerprint": 1,
     "q33_sessionize": 1, "q34_tumbling_window": 1, "q35_asof_join": 1,
     "q36_range_join": 1, "q37_percentiles": 1, "q38_cube": 1,
     "q39_pivot": 1, "q40_salted_agg": 1, "q41_topk_per_group": 1,
-    "q42_embedding_centroid": 1, "q44_ann_ivf": 1, "q45_sketches": 1,
+    "q42_embedding_centroid": 1, "q45_sketches": 1,
     "q46_tpch_q3": 1, "q47_grouping_sets": 1, "q48_rolling_window": 1,
     "q49_skew_join": 1,
     # r3 (CORRECTNESS_r03.json).
@@ -170,8 +180,7 @@ _DRIVER_VERIFIED_ROUND = {
     "q80_dup_span_coverage": 3, "q81_profile_stats": 3,
     "q82_cdc_merge": 3, "q83_profile_sketch": 3,
     "q84_source_overlap": 3, "q85_leakfree_split": 3,
-    "q86_incremental_dedup": 3, "q88_feature_extract": 3,
-    "q89_tpch_q2": 3, "q90_tpch_q16": 3,
+    "q86_incremental_dedup": 3, "q89_tpch_q2": 3, "q90_tpch_q16": 3,
     # r4 (CORRECTNESS_r04.json): the 50 checked rows, all green —
     # includes the 17 new q100–q116, the r4-edited set, and 18
     # rotation re-checks.
@@ -182,22 +191,18 @@ _DRIVER_VERIFIED_ROUND = {
     "q11_explode_tokens": 4, "q12_string_predicates": 4,
     "q13_ts_parse_bucket": 4, "q14_json_extract": 4,
     "q15_case_when_classify": 4, "q16_join_broadcast": 4,
-    "q17_join_multiway": 4, "q25_embedding_neardup": 4, "q27_ann_lsh": 4,
+    "q17_join_multiway": 4, "q27_ann_lsh": 4,
     "q32_multimodal_decode": 4, "q66_embedding_quantize": 4,
-    "q72_semantic_dedup": 4, "q87_image_resize": 4,
-    "q91_integrity_audit": 4, "q92_dedup_admit": 4, "q93_edit_verify": 4,
+    "q91_integrity_audit": 4, "q93_edit_verify": 4,
     "q94_trigram_lm": 4, "q95_token_budget": 4, "q96_degree_stats": 4,
     "q97_containment": 4, "q98_survivor_policy": 4,
     "q99_boilerplate_ngrams": 4, "q100_stream_sessions": 4,
     "q101_lm_doc_score": 4, "q102_pii_scrub": 4,
-    "q103_lsh_calibration": 4, "q104_length_trim": 4,
-    "q105_winnow_overlap": 4, "q106_stream_attribution": 4,
-    "q107_stateful_asof": 4, "q108_bloom_decontaminate": 4,
-    "q109_source_drift": 4, "q110_stream_page_rank": 4,
-    "q111_ann_recall": 4, "q112_tpch_q7": 4, "q113_tpch_q20": 4,
+    "q103_lsh_calibration": 4, "q105_winnow_overlap": 4, "q106_stream_attribution": 4,
+    "q108_bloom_decontaminate": 4,
+    "q109_source_drift": 4, "q112_tpch_q7": 4, "q113_tpch_q20": 4,
     "q114_full_outer_reconcile": 4, "q115_range_frame_trailing": 4,
-    "q116_curation_pipeline": 4,
-}
+    }
 
 # Backwards-compatible name-set view (tests and tooling key off this).
 _DRIVER_VERIFIED = frozenset(_DRIVER_VERIFIED_ROUND)
