@@ -117,21 +117,27 @@ def global_cumsum(
     parallel except the offset cumsum, which runs on ≤ #partitions
     aggregated rows (the :func:`tiny_window` class). The ordering must
     be total (include a unique tiebreaker like ``event_id``) for
-    deterministic output. The fact subtree is evaluated twice (once for
-    the data pass, once for the totals) — the standard cost of a
-    distributed global rank; a 100 TB deployment would cache/checkpoint
-    the input if it is itself expensive.
+    deterministic output.
 
-    CORRECTNESS CAVEAT (learned the hard way in q37's first rewrite):
-    the data branch and the totals branch must read the SAME
-    materialized range exchange — guaranteed here because both sit in
-    one physical plan and Spark dedups identical exchanges
-    (spark.sql.exchange.reuse, on by default; AQE coalescing then
-    applies once to the shared stage). NEVER checkpoint/persist one
-    branch but not the other: separate jobs can coalesce the range
-    shuffle differently, reassigning ``spark_partition_id`` and
-    silently corrupting every rank. If you need a frozen intermediate,
-    checkpoint the INPUT ``df`` before calling this.
+    CORRECTNESS: the per-partition pass is PINNED (lazy
+    ``localCheckpoint``) before the totals/offsets branches read it.
+    This is mandatory, not an optimization. The earlier form relied on
+    exchange reuse to give both branches one materialized range
+    shuffle — but ``spark_partition_id()`` is a NONDETERMINISTIC
+    expression, which breaks canonical plan equality, so the reuse
+    rule never fires: the final plan materialized the
+    ``repartitionByRange`` exchange once per branch (verified in the
+    formatted plan — three Exchanges, zero ReusedExchange), each
+    sampling its OWN range boundaries. The samples happened to agree
+    at sf0.01/sf0.1; the r5 sf1 scale proof caught them diverging
+    (q04's report_pos interleaved two boundary layouts — CHECK the
+    sf1 parity log before trusting any rank built on partition ids).
+    With the pin, every consumer reads the one evaluated (pid, lcs)
+    table, so ranks are deterministic by construction. The pin is a
+    fact-scale materialization (MEMORY_AND_DISK): acceptable because
+    every registered global rank runs on aggregated or
+    heavily-filtered inputs (q10: ≤ #distinct ranks rows; q04: the
+    miss subset) — rank the aggregate, never the raw fact table.
     """
     spark = df.sparkSession
     npart = int(
@@ -150,6 +156,7 @@ def global_cumsum(
                 .rowsBetween(W.unboundedPreceding, 0)
             ),
         )
+        .localCheckpoint(eager=False)
     )
     totals = local.groupBy("_pid").agg(F.sum("_v").alias("_cnt"))
     # Offsets via a triangular join on the ≤ #partitions totals rows —
