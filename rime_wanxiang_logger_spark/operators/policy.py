@@ -669,13 +669,20 @@ def q116_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, name in enumerate(_STAGES)
         ]
     )
+    # Conditional sums over the UNFILTERED stage explode, so a stage
+    # that zeroes out still emits an explicit (stage, 0, 0) row — the
+    # r5 sf1 run showed a funnel where decontamination wiped the tail
+    # stages and the rows silently vanished; a dataset card must list
+    # every stage (and a fixed 6-row cardinality is what downstream
+    # tooling can depend on).
     return (
         flags.select("n_tok", F.explode(stage_structs).alias("s"))
-        .where(F.col("s.ok"))
         .groupBy("s.stage", "s.stage_name")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("s.ok"), 1).otherwise(0)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("s.ok"), F.col("n_tok")).otherwise(F.lit(0))
+            ).alias("n_tokens"),
         )
         .select("stage", "stage_name", "n_docs", "n_tokens")
     )
@@ -1059,7 +1066,8 @@ ORACLE["q116_curation_pipeline"] = f"""
           FROM flags, LATERAL unnest(generate_series(0, 5)) AS s(stage)
         )
         SELECT stage, stage_name,
-               COUNT(*) AS n_docs,
-               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-        FROM fun WHERE ok GROUP BY stage, stage_name
+               CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(n_tok) FILTER (WHERE ok), 0) AS BIGINT)
+                 AS n_tokens
+        FROM fun GROUP BY stage, stage_name
 """
