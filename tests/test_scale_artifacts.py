@@ -1,0 +1,61 @@
+"""Integrity of the committed r5 scale-proof artifacts (BASELINE.md's
+sf1 claims are backed by these files; a truncated or stale commit of
+them would silently undercut the claims).
+
+These tests read the COMMITTED JSON — no Spark, no sf1 data needed —
+so they run everywhere and fail loudly if the artifacts drift from
+the registry or record a non-clean run.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_scale_parity_artifact_is_clean_and_complete():
+    data = json.loads((REPO / "scale_parity.json").read_text())
+    assert data["meta"]["failures"] == 0
+    assert data["meta"]["n_oracle_exact"] >= 112
+    assert data["meta"]["n_rows_only"] <= 5
+    import rime_wanxiang_logger_spark.operators as ops
+
+    registered = set(ops.all_queries())
+    recorded = set(data["queries"])
+    assert recorded == registered, (
+        registered - recorded,
+        recorded - registered,
+    )
+    # the rows-only set is exactly the recursive-CC oracle family
+    rows_only = {
+        k for k, v in data["queries"].items() if v["check"] == "rows_only"
+    }
+    assert rows_only == {
+        "q53_dedup_clusters",
+        "q72_semantic_dedup",
+        "q85_leakfree_split",
+        "q98_survivor_policy",
+        "q116_curation_pipeline",
+    }
+    assert all(v["rows"] >= 1 for v in data["queries"].values())
+
+
+def test_cc_audit_artifact_has_zero_violations():
+    data = json.loads((REPO / "cc_audit.json").read_text())
+    checks = {
+        k: v
+        for k, v in data.items()
+        if k.startswith(("edges_", "labels_", "q98_"))
+    }
+    assert checks and all(v == 0 for v in checks.values()), checks
+    assert data["n_edges"] > 10_000  # genuinely sf1-scale input
+
+
+def test_scale_proof_artifact_is_sublinear():
+    data = json.loads((REPO / "scale_proof.json").read_text())
+    assert len(data) >= 20
+    worst = max(v["ratio"] for v in data.values())
+    # 10x data: anything at or above linear would be a scale defect
+    assert worst < 10, worst
