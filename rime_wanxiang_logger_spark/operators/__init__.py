@@ -143,36 +143,14 @@ except ImportError:
 # Value = round of the query's most recent green driver row
 # (rows+schema+hash all true in CORRECTNESS_r0{value}.json).
 #
-# r5 drops (plan/mechanics changed this round — driver must re-certify,
-# the r3 q43/q56 policy; all locally verified value-identical against
-# the DuckDB oracle before the round-end hash freeze):
-#   q25/q26/q44/q104 — stage-provider pins + the constant-size ANN
-#     query-set cap (q26/q44's capped query side, mirrored oracles);
-#   q72/q111/q116 — compositions now consume pinned stages;
-#   q92 — unbounded watermarked admit stream (update-mode drain);
-#   q87/q88 — capability-dispatched operator refactor;
-#   q107/q110 — single-batch drain assertion added;
-#   q04/q10/q70 — global_cumsum pin (the sf1-found rank
-#     nondeterminism fix: spark_partition_id() blocks exchange reuse,
-#     so the unpinned two-phase rank sampled range boundaries once per
-#     branch — see windows.global_cumsum and the tie-heavy plan test).
+# r5 results landed (CORRECTNESS_r05.json, 50/50 green): the 15
+# re-queued plan-changed queries (stage pins, unbounded admit,
+# capability dispatch, global_cumsum rank pin) plus the 23 r1-vintage
+# and 12 r3-vintage rotation re-checks all carry fresh value-5 rows.
+# Remaining oldest greens: 28 r3-vintage rows (q58–q90 block) — the r6
+# rotation targets those first among verified names.
 _DRIVER_VERIFIED_ROUND = {
-    # r1 vintage — green in CORRECTNESS_r01.json, never re-checked
-    # since (highest rotation priority among verified names).
-    "q18_semi_anti": 1, "q19_distinct_union": 1, "q20_rollup": 1,
-    "q21_dedup_exact": 1, "q28_lang_id": 1,
-    "q29_text_quality": 1, "q30_token_count": 1, "q31_fingerprint": 1,
-    "q33_sessionize": 1, "q34_tumbling_window": 1, "q35_asof_join": 1,
-    "q36_range_join": 1, "q37_percentiles": 1, "q38_cube": 1,
-    "q39_pivot": 1, "q40_salted_agg": 1, "q41_topk_per_group": 1,
-    "q42_embedding_centroid": 1, "q45_sketches": 1,
-    "q46_tpch_q3": 1, "q47_grouping_sets": 1, "q48_rolling_window": 1,
-    "q49_skew_join": 1,
-    # r3 (CORRECTNESS_r03.json).
-    "q22_minhash_lsh": 3, "q23_simhash": 3, "q24_ngram_jaccard": 3,
-    "q43_stream_hourly": 3, "q50_tpch_q5": 3, "q51_frame_sample": 3,
-    "q52_winnowing": 3, "q53_dedup_clusters": 3, "q54_tpch_q17": 3,
-    "q55_tpch_q18": 3, "q56_hash_split": 3, "q57_stratified_sample": 3,
+    # r3 (CORRECTNESS_r03.json) — oldest remaining green rows.
     "q58_curation_funnel": 3, "q59_latest_by_key": 3,
     "q60_session_funnel": 3, "q61_resample_gapfill": 3,
     "q62_scd2_intervals": 3, "q63_variant_extract": 3,
@@ -187,6 +165,7 @@ _DRIVER_VERIFIED_ROUND = {
     # r4 (CORRECTNESS_r04.json): the 50 checked rows, all green —
     # includes the 17 new q100–q116, the r4-edited set, and 18
     # rotation re-checks.
+    # (r5 re-checked names moved to the r5 block below.)
     "q01_scan_count": 4, "q02_scan_filter_pushdown": 4,
     "q03_regexp_extract": 4, "q05_filter_eq": 4,
     "q06_filter_ge": 4, "q07_accuracy_summary": 4, "q08_freq_window": 4,
@@ -205,6 +184,28 @@ _DRIVER_VERIFIED_ROUND = {
     "q108_bloom_decontaminate": 4,
     "q109_source_drift": 4, "q112_tpch_q7": 4, "q113_tpch_q20": 4,
     "q114_full_outer_reconcile": 4, "q115_range_frame_trailing": 4,
+    # r5 (CORRECTNESS_r05.json): the 50 checked rows, all green — the
+    # 15 re-queued plan-changed queries plus 35 rotation re-checks.
+    "q04_export_misses": 5, "q10_topk_misses": 5,
+    "q18_semi_anti": 5, "q19_distinct_union": 5, "q20_rollup": 5,
+    "q21_dedup_exact": 5, "q22_minhash_lsh": 5, "q23_simhash": 5,
+    "q24_ngram_jaccard": 5, "q25_embedding_neardup": 5,
+    "q26_ann_topk": 5, "q28_lang_id": 5, "q29_text_quality": 5,
+    "q30_token_count": 5, "q31_fingerprint": 5, "q33_sessionize": 5,
+    "q34_tumbling_window": 5, "q35_asof_join": 5, "q36_range_join": 5,
+    "q37_percentiles": 5, "q38_cube": 5, "q39_pivot": 5,
+    "q40_salted_agg": 5, "q41_topk_per_group": 5,
+    "q42_embedding_centroid": 5, "q43_stream_hourly": 5,
+    "q44_ann_ivf": 5, "q45_sketches": 5, "q46_tpch_q3": 5,
+    "q47_grouping_sets": 5, "q48_rolling_window": 5, "q49_skew_join": 5,
+    "q50_tpch_q5": 5, "q51_frame_sample": 5, "q52_winnowing": 5,
+    "q53_dedup_clusters": 5, "q54_tpch_q17": 5, "q55_tpch_q18": 5,
+    "q56_hash_split": 5, "q57_stratified_sample": 5,
+    "q70_page_rank_replay": 5, "q72_semantic_dedup": 5,
+    "q87_image_resize": 5, "q88_feature_extract": 5,
+    "q92_dedup_admit": 5, "q104_length_trim": 5,
+    "q107_stateful_asof": 5, "q110_stream_page_rank": 5,
+    "q111_ann_recall": 5, "q116_curation_pipeline": 5,
     }
 
 # Backwards-compatible name-set view (tests and tooling key off this).
