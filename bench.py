@@ -52,7 +52,11 @@ def main() -> None:
     # the honest plan cost — while compositions (q72/q111/q116) reuse
     # the session's pinned stage outputs, which is their documented
     # cost semantic (SURVEY §2.11f).
-    from rime_wanxiang_logger_spark.operators._stage_cache import sharing
+    from rime_wanxiang_logger_spark.operators._stage_cache import (
+        STAGE_CONSUMERS,
+        clear as clear_stage_pins,
+        sharing,
+    )
 
     timings: dict[str, float] = {}
     with sharing():
@@ -64,6 +68,40 @@ def main() -> None:
                 timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 4)
+
+    # Separability record (judge r5 #7): re-time the stage-consuming
+    # queries with sharing OFF — their full standalone cost, stages
+    # rebuilt — into bench_nosharing.json. bench_full.json (sharing ON,
+    # the driver-visible semantic) remains THE band metric; this file
+    # exists so a stage-cache regression can't hide inside the total
+    # and cross-round comparisons with pre-r5 records stay possible.
+    clear_stage_pins()
+    nosharing: dict[str, float] = {}
+    registry = all_queries()
+    for _pass in range(2):
+        for name in STAGE_CONSUMERS:
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.perf_counter() - t0, 4)
+            nosharing[name] = min(nosharing.get(name, dt), dt)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_nosharing.json"),
+        "w",
+    ) as f:
+        json.dump(
+            {
+                "stage_sharing": False,
+                "note": "standalone cost of stage-consuming queries; "
+                        "bench_full.json is the band metric",
+                "queries": nosharing,
+                "sf": sf,
+            },
+            f, indent=1,
+        )
+        f.write("\n")
     # The driver records only a ~2 KB TAIL of stdout: a single JSON
     # line with 84 full-length query names (~2.4 KB) gets its head cut
     # and becomes unparseable (BENCH_r02.json: parsed=null, q25/q50–q59
@@ -87,6 +125,10 @@ def main() -> None:
         "metric": "sum_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        # stage sharing is ON for these timings (ADVICE r5: the flag
+        # makes the cost semantic explicit for cross-round comparison;
+        # pre-r5 records rebuilt composition stages inline).
+        "stage_sharing": True,
         "queries": timings,
         "sf": sf,
     }

@@ -22,11 +22,16 @@ from ..sources.readers import load_table
 from .events_model import COMMIT_TYPE, RANK_SQL, commits
 from .windows import global_row_number
 
-#: ASCII → presentation header mapping (cli.py:334-339).
+#: ASCII → presentation header mapping, one key per report column
+#: (cli.py:334-339 + the derived 错误频率, cli.py:345): q04's
+#: ``predicted_rank`` is the engine's stand-in for the reference's
+#: ``source_first_candidate`` → 程序预测; ``selected_rank`` ↔
+#: ``selected_candidate_rank`` → 选择排名. (r6: a stray duplicate
+#: ``predicted`` key also mapping 程序预测 is gone — two source
+#: columns must never claim one header.)
 REPORT_HEADERS = {
     "user_input": "用户输入",
     "actual_choice": "实际选择",
-    "predicted": "程序预测",
     "predicted_rank": "程序预测",
     "selected_rank": "选择排名",
     "err_freq": "错误频率",

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.stable import dsum, dsum_expr
 from ..sources.readers import load_table
+from ._stage_cache import consume, provide
 from .dedup import _CAND_CTE, _candidate_pairs, _signatures
 
 MAX_CC_ROUNDS = 15
@@ -116,19 +117,50 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return labels
 
 
+def _cc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared detect→cluster stage: CC labels (node, label) over
+    the MinHash band-collision candidate graph. Signatures are
+    checkpointed because the union inside connected_components has two
+    branches and each would otherwise re-run the shingle→minhash
+    stage (dedup.q22 doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
+    return connected_components(pairs)
+
+
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer handle on the shared ``cc_labels`` stage (SURVEY
+    §2.11g): q53 is the stage PROVIDER (always rebuilds — its bench row
+    stays the honest detect→cluster cost — and refreshes the pin);
+    q85/q98 (and q116 through q98) read the pin inside a sharing()
+    scope instead of each re-running shingle→minhash→band→CC.
+
+    Unlike the driver-sized pins (q104 bounds, q26/q44 top-k) this
+    stage is CORPUS-PROPORTIONAL: one (node, label) row per doc that
+    appears in ≥1 candidate pair, bounded by O(candidate pairs) — the
+    quantity the banding governor already bounds (dedup.q22 doc). The
+    CC iteration itself localCheckpoints a same-shaped labels table
+    every round, so the pin stores one more copy of a table the
+    session already materializes (_stage_cache docstring, size
+    classes)."""
+    return consume(
+        spark, "cc_labels", sf_dir, lambda: _cc_labels_build(spark, sf_dir)
+    )
+
+
 def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over q22's band-collision pair graph.
 
     Returns one row per doc that appears in >= 1 candidate pair:
     (doc_id, cluster_id = min doc_id in its component, cluster_size).
     A pipeline keeps cluster_id == doc_id rows and drops the rest.
+
+    Stage provider: pins ``cc_labels`` for q85/q98/q116 (cc_labels
+    doc) — a raw call builds the plain plan untouched.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # Checkpoint signatures: the union inside connected_components has
-    # two branches and each would otherwise re-run the shingle→minhash
-    # stage (dedup.q22 doc).
-    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
-    labels = connected_components(pairs)
+    labels = provide(
+        spark, "cc_labels", sf_dir, lambda: _cc_labels_build(spark, sf_dir)
+    )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -242,11 +274,12 @@ def q85_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     only at toy scale; at 100 TB labels is doc-count-sized, so the
     join shuffles both sides on doc_id — one co-partitioned shuffle,
     then the same one-scan rollup as q56. Singletons (no candidate
-    pair) are their own representative via coalesce.
+    pair) are their own representative via coalesce. The labels come
+    from the shared ``cc_labels`` stage (q53 provides; see cc_labels
+    doc) — a raw call still builds the full detect→cluster plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
-    labels = connected_components(pairs).select(
+    labels = cc_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("rep_id")
     )
     rep = docs.select("doc_id", "lang", "n_chars").join(

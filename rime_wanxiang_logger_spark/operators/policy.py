@@ -598,7 +598,11 @@ def q116_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language bounds table and one broadcast eval-gram semi-join;
     the funnel is an in-row stage explode (6×) into one map-side-
     combined aggregate. No stage re-sorts or re-shuffles the corpus
-    beyond its own operator's documented plan."""
+    beyond its own operator's documented plan. Inside a sharing()
+    scope the q98 verdicts, q29 quality flags, and q104 bounds are
+    read from their providers' pinned stages (r6 — the funnel stops
+    re-running detect→cluster and re-scoring the corpus); a raw call
+    builds every stage's plain plan."""
     from .mixture import q98_survivor_policy
     from .textstats import q29_text_quality
 
@@ -613,9 +617,12 @@ def q116_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_exact",
         F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp")),
     )
-    keep98 = q98_survivor_policy(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("b_near")
-    )
+    keep98 = consume(
+        spark,
+        "q98_verdicts",
+        sf_dir,
+        lambda: q98_survivor_policy(spark, sf_dir),
+    ).select("doc_id", F.col("keep").alias("b_near"))
     bounds = consume(
         spark, "q104_bounds", sf_dir, lambda: q104_length_trim(spark, sf_dir)
     ).select("lang", "lo_bound", "hi_bound")
@@ -632,9 +639,12 @@ def q116_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("contam", F.lit(True))
     )
-    q29 = q29_text_quality(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("b_q")
-    )
+    q29 = consume(
+        spark,
+        "q29_quality",
+        sf_dir,
+        lambda: q29_text_quality(spark, sf_dir),
+    ).select("doc_id", F.col("keep").alias("b_q"))
     flags = (
         base.join(keep98, "doc_id")
         .join(F.broadcast(bounds), "lang")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import fanout, load_table
+from ._stage_cache import provide
 
 # Pseudo-stopword lists over the synthetic corpus vocabulary; the
 # *pattern* (per-language marker lists, argmax score) is the real
@@ -78,29 +79,37 @@ def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    w = "split(text, ' ')"
-    n_tokens = F.expr(f"size({w})")
-    stop_hits = F.expr(_in_list(w, STOPWORDS))
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        (F.length(F.regexp_replace("text", " ", "")) / n_tokens).alias(
-            "avg_token_len"
-        ),
-        (stop_hits / n_tokens).alias("stop_ratio"),
-        (
-            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * F.lit(0.5)
-            + (stop_hits / n_tokens) * F.lit(0.5)
-        ).alias("quality_score"),
-        (
+    """Per-doc quality scoring. Stage PROVIDER of ``q29_quality`` —
+    q116's funnel consumes the pinned per-doc verdict table (narrow,
+    one row per doc — _stage_cache size classes) instead of re-scoring
+    the corpus; a raw call returns the plain single-scan plan."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        w = "split(text, ' ')"
+        n_tokens = F.expr(f"size({w})")
+        stop_hits = F.expr(_in_list(w, STOPWORDS))
+        return docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (F.length(F.regexp_replace("text", " ", "")) / n_tokens).alias(
+                "avg_token_len"
+            ),
+            (stop_hits / n_tokens).alias("stop_ratio"),
             (
                 F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * F.lit(0.5)
                 + (stop_hits / n_tokens) * F.lit(0.5)
-            )
-            > 0.2
-        ).alias("keep"),
-    )
+            ).alias("quality_score"),
+            (
+                (
+                    F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * F.lit(0.5)
+                    + (stop_hits / n_tokens) * F.lit(0.5)
+                )
+                > 0.2
+            ).alias("keep"),
+        )
+
+    return provide(spark, "q29_quality", sf_dir, build)
 
 
 def q30_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,5 +1,6 @@
 from .inspect import (  # noqa: F401
     explain_str,
+    global_windows_not_on_aggregate,
     has_broadcast_join,
     is_codegen,
     op_count,

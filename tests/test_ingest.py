@@ -136,6 +136,15 @@ def test_misses_csv_roundtrip(spark, sf_dir, tmp_path):
     export_misses_csv(src, out)
     with open(out, "rb") as f:
         assert f.read(3) == b"\xef\xbb\xbf"  # BOM survived the sink
+    # The exact header row, pinned against the reference's mapping
+    # (cli.py:334-339 + the derived 错误频率, cli.py:345): one Chinese
+    # header per mapped report column, unmapped engine columns
+    # (event_id, report_pos) pass through under their ASCII names.
+    with open(out, encoding="utf-8-sig") as f:
+        header = f.readline().strip()
+    assert header == (
+        "event_id,用户输入,实际选择,程序预测,选择排名,错误频率,report_pos"
+    ), header
     # cache() lifts Spark's corrupt-column-only query restriction
     back = read_misses_csv(spark, out).cache()
     assert back.where(F.col("_corrupt_record").isNotNull()).count() == 0

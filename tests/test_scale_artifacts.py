@@ -63,8 +63,17 @@ def test_cc_audit_artifact_has_zero_violations():
 
 
 def test_scale_proof_artifact_is_sublinear():
+    """10× data must cost sub-linear wall-clock in AGGREGATE. The
+    bound is the MEDIAN ratio (r6, ADVICE r5): a single query's
+    wall-clock on a loaded host can cross 10× from scheduler noise
+    alone, so a max-based gate would flag regenerated artifacts
+    without any code regression — the median is stable unless the
+    scaling behavior itself regresses across the board. Per-query
+    outliers remain visible in the committed artifact and are
+    adjudicated in BASELINE.md, not auto-gated here."""
     data = json.loads((REPO / "scale_proof.json").read_text())
     assert len(data) >= 20
-    worst = max(v["ratio"] for v in data.values())
-    # 10x data: anything at or above linear would be a scale defect
-    assert worst < 10, worst
+    ratios = sorted(v["ratio"] for v in data.values())
+    assert all(r > 0 for r in ratios), ratios
+    median = ratios[len(ratios) // 2]
+    assert median < 5, (median, ratios)
