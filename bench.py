@@ -192,7 +192,8 @@ def _round_end_checklist() -> None:
             line for line in out.splitlines()
             if any(
                 k in line
-                for k in ("bench_full.json", "BENCH_r", "CORRECTNESS_r",
+                for k in ("bench_full.json", "bench_nosharing.json",
+                          "BENCH_r", "CORRECTNESS_r",
                           "_verified_hashes.json")
             )
         ]

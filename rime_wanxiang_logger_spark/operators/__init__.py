@@ -149,6 +149,19 @@ except ImportError:
 # and 12 r3-vintage rotation re-checks all carry fresh value-5 rows.
 # Remaining oldest greens: 28 r3-vintage rows (q58–q90 block) — the r6
 # rotation targets those first among verified names.
+#
+# r6 drops (plan/mechanics changed this round — driver must
+# re-certify, the r3 q43/q56 policy; all locally verified
+# value-identical against the DuckDB oracle before the round-end hash
+# freeze):
+#   q53 — now the cc_labels stage PROVIDER (sharing-scope result is
+#     the pinned copy);
+#   q85/q98 — consume the shared cc_labels stage; q98 additionally
+#     provides q98_verdicts;
+#   q29 — provides the q29_quality stage;
+#   q116 — consumes q98_verdicts + q29_quality (on top of q104_bounds);
+#   q95 — Σw window re-derived + boundedness guard (same plan, the
+#     re-cert is belt-and-braces for the guard-covered rewrite cycle).
 _DRIVER_VERIFIED_ROUND = {
     # r3 (CORRECTNESS_r03.json) — oldest remaining green rows.
     "q58_curation_funnel": 3, "q59_latest_by_key": 3,
@@ -160,8 +173,7 @@ _DRIVER_VERIFIED_ROUND = {
     "q77_rarity_score": 3, "q78_inverted_index": 3, "q79_pagerank": 3,
     "q80_dup_span_coverage": 3, "q81_profile_stats": 3,
     "q82_cdc_merge": 3, "q83_profile_sketch": 3,
-    "q84_source_overlap": 3, "q85_leakfree_split": 3,
-    "q86_incremental_dedup": 3, "q89_tpch_q2": 3, "q90_tpch_q16": 3,
+    "q84_source_overlap": 3, "q86_incremental_dedup": 3, "q89_tpch_q2": 3, "q90_tpch_q16": 3,
     # r4 (CORRECTNESS_r04.json): the 50 checked rows, all green —
     # includes the 17 new q100–q116, the r4-edited set, and 18
     # rotation re-checks.
@@ -176,9 +188,8 @@ _DRIVER_VERIFIED_ROUND = {
     "q17_join_multiway": 4, "q27_ann_lsh": 4,
     "q32_multimodal_decode": 4, "q66_embedding_quantize": 4,
     "q91_integrity_audit": 4, "q93_edit_verify": 4,
-    "q94_trigram_lm": 4, "q95_token_budget": 4, "q96_degree_stats": 4,
-    "q97_containment": 4, "q98_survivor_policy": 4,
-    "q99_boilerplate_ngrams": 4, "q100_stream_sessions": 4,
+    "q94_trigram_lm": 4, "q96_degree_stats": 4,
+    "q97_containment": 4, "q99_boilerplate_ngrams": 4, "q100_stream_sessions": 4,
     "q101_lm_doc_score": 4, "q102_pii_scrub": 4,
     "q103_lsh_calibration": 4, "q105_winnow_overlap": 4, "q106_stream_attribution": 4,
     "q108_bloom_decontaminate": 4,
@@ -190,8 +201,7 @@ _DRIVER_VERIFIED_ROUND = {
     "q18_semi_anti": 5, "q19_distinct_union": 5, "q20_rollup": 5,
     "q21_dedup_exact": 5, "q22_minhash_lsh": 5, "q23_simhash": 5,
     "q24_ngram_jaccard": 5, "q25_embedding_neardup": 5,
-    "q26_ann_topk": 5, "q28_lang_id": 5, "q29_text_quality": 5,
-    "q30_token_count": 5, "q31_fingerprint": 5, "q33_sessionize": 5,
+    "q26_ann_topk": 5, "q28_lang_id": 5, "q30_token_count": 5, "q31_fingerprint": 5, "q33_sessionize": 5,
     "q34_tumbling_window": 5, "q35_asof_join": 5, "q36_range_join": 5,
     "q37_percentiles": 5, "q38_cube": 5, "q39_pivot": 5,
     "q40_salted_agg": 5, "q41_topk_per_group": 5,
@@ -199,14 +209,13 @@ _DRIVER_VERIFIED_ROUND = {
     "q44_ann_ivf": 5, "q45_sketches": 5, "q46_tpch_q3": 5,
     "q47_grouping_sets": 5, "q48_rolling_window": 5, "q49_skew_join": 5,
     "q50_tpch_q5": 5, "q51_frame_sample": 5, "q52_winnowing": 5,
-    "q53_dedup_clusters": 5, "q54_tpch_q17": 5, "q55_tpch_q18": 5,
+    "q54_tpch_q17": 5, "q55_tpch_q18": 5,
     "q56_hash_split": 5, "q57_stratified_sample": 5,
     "q70_page_rank_replay": 5, "q72_semantic_dedup": 5,
     "q87_image_resize": 5, "q88_feature_extract": 5,
     "q92_dedup_admit": 5, "q104_length_trim": 5,
     "q107_stateful_asof": 5, "q110_stream_page_rank": 5,
-    "q111_ann_recall": 5, "q116_curation_pipeline": 5,
-    }
+    "q111_ann_recall": 5, }
 
 # Backwards-compatible name-set view (tests and tooling key off this).
 _DRIVER_VERIFIED = frozenset(_DRIVER_VERIFIED_ROUND)
