@@ -69,3 +69,24 @@ def test_keys_are_session_scoped(spark, sf_dir):
         sc.consume(spark, "t_key", sf_dir, build)
     key = (spark.sparkContext.applicationId, "t_key", sf_dir)
     assert key in sc._STORE  # applicationId in the key: no cross-session leak
+
+
+def test_clear_invalidates_pins_per_sf_dir(spark, sf_dir):
+    """clear() is the escape hatch for mutated data dirs (the pin key
+    assumes immutable sf_dir contents): clearing one dir rebuilds its
+    consumers while other dirs' pins survive; clear() with no argument
+    drops everything."""
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    with sc.sharing():
+        sc.consume(spark, "t_clr", "/tmp/t_clr_a", build)
+        sc.consume(spark, "t_clr", "/tmp/t_clr_b", build)
+        assert len(calls) == 2
+        sc.clear("/tmp/t_clr_a")
+        sc.consume(spark, "t_clr", "/tmp/t_clr_a", build)  # rebuilds
+        sc.consume(spark, "t_clr", "/tmp/t_clr_b", build)  # still pinned
+        assert len(calls) == 3
+        sc.clear()
+        sc.consume(spark, "t_clr", "/tmp/t_clr_b", build)  # rebuilds
+        assert len(calls) == 4
+    sc.clear()  # leave no test pins behind for other tests
