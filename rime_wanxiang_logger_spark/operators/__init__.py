@@ -143,17 +143,73 @@ except ImportError:
 # Value = round of the query's most recent green driver row
 # (rows+schema+hash all true in CORRECTNESS_r0{value}.json).
 #
-# r5 results landed (CORRECTNESS_r05.json, 50/50 green): the 15
-# re-queued plan-changed queries (stage pins, unbounded admit,
-# capability dispatch, global_cumsum rank pin) plus the 23 r1-vintage
-# and 12 r3-vintage rotation re-checks all carry fresh value-5 rows.
-# Remaining oldest greens: 28 r3-vintage rows (q58–q90 block) — the r6
-# rotation targets those first among verified names.
+# r6: the map is DERIVED from the committed CORRECTNESS_r*.json files
+# instead of hand-maintained — the r5/r6 verdicts both flagged the
+# same round-open failure mode (fresh green rows not recorded, so the
+# driver re-re-checks them and the stalest rows lose their slots).
+# Deriving removes the chore and the drift risk:
+#   - a name's value is its MAX fully-green round, invalidated by any
+#     LATER red row (q56's red r2 row is the precedent: green r1,
+#     red r2, re-certified r3 — derived value tracks the re-cert);
+#   - plan-changed queries are re-queued via _REQUEUE below, whose
+#     entries EXPIRE on their own once a newer green row lands (no
+#     round-open cleanup);
+#   - when the CORRECTNESS files are absent (installed package, bare
+#     checkout), everything sorts unverified — name order, the safe
+#     degradation.
+
+_PKG_DIR = _Path(__file__).resolve().parent
+_VERIFIED_HASH_FILE = _PKG_DIR / "_verified_hashes.json"
+_REPO_ROOT = _PKG_DIR.parent.parent
+
+
+def _correctness_rows() -> dict[int, dict]:
+    """round -> committed CORRECTNESS_r0N.json contents (driver-written
+    per-round oracle comparison records at the repo root)."""
+    out: dict[int, dict] = {}
+    for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.rsplit("_r", 1)[1])
+            rows = _json.loads(p.read_text())
+        except (OSError, ValueError, IndexError):  # pragma: no cover
+            continue
+        if isinstance(rows, dict):
+            out[rnd] = rows
+    return out
+
+
+def _derive_verified_rounds(
+    rows_by_round: dict[int, dict], requeue: dict[str, int]
+) -> dict[str, int]:
+    """name -> round of its most recent fully-green driver row
+    (rows+schema+hash all true), dropped when a LATER round recorded a
+    red row for the name or when ``requeue`` invalidates rounds <= N."""
+    green: dict[str, int] = {}
+    red: dict[str, int] = {}
+    for rnd, rows in rows_by_round.items():
+        for name, row in rows.items():
+            ok = isinstance(row, dict) and bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            bucket = green if ok else red
+            bucket[name] = max(bucket.get(name, 0), rnd)
+    return {
+        name: rnd
+        for name, rnd in green.items()
+        if rnd > red.get(name, 0) and rnd > requeue.get(name, 0)
+    }
+
+
+# Plan-changed queries re-queued for driver re-certification (the r3
+# q43/q56 policy): ``name: N`` invalidates green rows from rounds <= N,
+# so the name sorts unverified-first until the driver writes a newer
+# green row — at which point the entry expires by itself. All locally
+# verified value-identical against the DuckDB oracle (sf0.01 + sf1
+# targeted sweep) before the round-end hash freeze.
 #
-# r6 drops (plan/mechanics changed this round — driver must
-# re-certify, the r3 q43/q56 policy; all locally verified
-# value-identical against the DuckDB oracle before the round-end hash
-# freeze):
+# r6 re-queues (stage sharing for the dedup-cluster family):
 #   q53 — now the cc_labels stage PROVIDER (sharing-scope result is
 #     the pinned copy);
 #   q85/q98 — consume the shared cc_labels stage; q98 additionally
@@ -162,66 +218,21 @@ except ImportError:
 #   q116 — consumes q98_verdicts + q29_quality (on top of q104_bounds);
 #   q95 — Σw window re-derived + boundedness guard (same plan, the
 #     re-cert is belt-and-braces for the guard-covered rewrite cycle).
-_DRIVER_VERIFIED_ROUND = {
-    # r3 (CORRECTNESS_r03.json) — oldest remaining green rows.
-    "q58_curation_funnel": 3, "q59_latest_by_key": 3,
-    "q60_session_funnel": 3, "q61_resample_gapfill": 3,
-    "q62_scd2_intervals": 3, "q63_variant_extract": 3,
-    "q64_chunk_windows": 3, "q65_tpch_q21": 3, "q67_rank_functions": 3,
-    "q68_tfidf": 3, "q69_bigram_pmi": 3, "q71_bm25": 3, "q73_source_mix": 3, "q74_pack_sequences": 3,
-    "q75_decontaminate": 3, "q76_repetition_stats": 3,
-    "q77_rarity_score": 3, "q78_inverted_index": 3, "q79_pagerank": 3,
-    "q80_dup_span_coverage": 3, "q81_profile_stats": 3,
-    "q82_cdc_merge": 3, "q83_profile_sketch": 3,
-    "q84_source_overlap": 3, "q86_incremental_dedup": 3, "q89_tpch_q2": 3, "q90_tpch_q16": 3,
-    # r4 (CORRECTNESS_r04.json): the 50 checked rows, all green —
-    # includes the 17 new q100–q116, the r4-edited set, and 18
-    # rotation re-checks.
-    # (r5 re-checked names moved to the r5 block below.)
-    "q01_scan_count": 4, "q02_scan_filter_pushdown": 4,
-    "q03_regexp_extract": 4, "q05_filter_eq": 4,
-    "q06_filter_ge": 4, "q07_accuracy_summary": 4, "q08_freq_window": 4,
-    "q09_asof_enrich": 4, "q11_array_slice": 4,
-    "q11_explode_tokens": 4, "q12_string_predicates": 4,
-    "q13_ts_parse_bucket": 4, "q14_json_extract": 4,
-    "q15_case_when_classify": 4, "q16_join_broadcast": 4,
-    "q17_join_multiway": 4, "q27_ann_lsh": 4,
-    "q32_multimodal_decode": 4, "q66_embedding_quantize": 4,
-    "q91_integrity_audit": 4, "q93_edit_verify": 4,
-    "q94_trigram_lm": 4, "q96_degree_stats": 4,
-    "q97_containment": 4, "q99_boilerplate_ngrams": 4, "q100_stream_sessions": 4,
-    "q101_lm_doc_score": 4, "q102_pii_scrub": 4,
-    "q103_lsh_calibration": 4, "q105_winnow_overlap": 4, "q106_stream_attribution": 4,
-    "q108_bloom_decontaminate": 4,
-    "q109_source_drift": 4, "q112_tpch_q7": 4, "q113_tpch_q20": 4,
-    "q114_full_outer_reconcile": 4, "q115_range_frame_trailing": 4,
-    # r5 (CORRECTNESS_r05.json): the 50 checked rows, all green — the
-    # 15 re-queued plan-changed queries plus 35 rotation re-checks.
-    "q04_export_misses": 5, "q10_topk_misses": 5,
-    "q18_semi_anti": 5, "q19_distinct_union": 5, "q20_rollup": 5,
-    "q21_dedup_exact": 5, "q22_minhash_lsh": 5, "q23_simhash": 5,
-    "q24_ngram_jaccard": 5, "q25_embedding_neardup": 5,
-    "q26_ann_topk": 5, "q28_lang_id": 5, "q30_token_count": 5, "q31_fingerprint": 5, "q33_sessionize": 5,
-    "q34_tumbling_window": 5, "q35_asof_join": 5, "q36_range_join": 5,
-    "q37_percentiles": 5, "q38_cube": 5, "q39_pivot": 5,
-    "q40_salted_agg": 5, "q41_topk_per_group": 5,
-    "q42_embedding_centroid": 5, "q43_stream_hourly": 5,
-    "q44_ann_ivf": 5, "q45_sketches": 5, "q46_tpch_q3": 5,
-    "q47_grouping_sets": 5, "q48_rolling_window": 5, "q49_skew_join": 5,
-    "q50_tpch_q5": 5, "q51_frame_sample": 5, "q52_winnowing": 5,
-    "q54_tpch_q17": 5, "q55_tpch_q18": 5,
-    "q56_hash_split": 5, "q57_stratified_sample": 5,
-    "q70_page_rank_replay": 5, "q72_semantic_dedup": 5,
-    "q87_image_resize": 5, "q88_feature_extract": 5,
-    "q92_dedup_admit": 5, "q104_length_trim": 5,
-    "q107_stateful_asof": 5, "q110_stream_page_rank": 5,
-    "q111_ann_recall": 5, }
+_REQUEUE = {
+    "q29_text_quality": 5,
+    "q53_dedup_clusters": 5,
+    "q85_leakfree_split": 5,
+    "q95_token_budget": 5,
+    "q98_survivor_policy": 5,
+    "q116_curation_pipeline": 5,
+}
+
+_DRIVER_VERIFIED_ROUND = _derive_verified_rounds(
+    _correctness_rows(), _REQUEUE
+)
 
 # Backwards-compatible name-set view (tests and tooling key off this).
 _DRIVER_VERIFIED = frozenset(_DRIVER_VERIFIED_ROUND)
-
-_PKG_DIR = _Path(__file__).resolve().parent
-_VERIFIED_HASH_FILE = _PKG_DIR / "_verified_hashes.json"
 
 
 def _intra_package_imports(path: _Path) -> set[_Path]:

@@ -111,3 +111,33 @@ def test_verified_round_map_covers_verified_set():
         isinstance(r, int) and r >= 1
         for r in ops._DRIVER_VERIFIED_ROUND.values()
     )
+
+
+def test_verified_rounds_derive_from_correctness_files():
+    # r6: the map is computed from the committed CORRECTNESS_r*.json
+    # records, not hand-maintained (the r5 verdict's round-open failure
+    # mode). Pin the derivation rules on synthetic data:
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    r = {"rows_match": True, "schema_match": True, "hash_match": False}
+    rows = {
+        1: {"a": g, "b": g, "c": g},
+        2: {"b": r},           # later red row invalidates b's r1 green
+        3: {"b": g, "d": g},   # ...until a newer green re-certifies it
+    }
+    out = ops._derive_verified_rounds(rows, {})
+    assert out == {"a": 1, "b": 3, "c": 1, "d": 3}
+    # requeue invalidates greens <= N and EXPIRES once a newer green
+    # lands (no round-open cleanup needed):
+    assert "c" not in ops._derive_verified_rounds(rows, {"c": 1})
+    assert ops._derive_verified_rounds(rows, {"b": 2})["b"] == 3
+    # the live map equals the derivation over the committed files —
+    # any hand edit that drifts from the records fails here
+    assert ops._DRIVER_VERIFIED_ROUND == ops._derive_verified_rounds(
+        ops._correctness_rows(), ops._REQUEUE
+    )
+    # q56's history is the red-row precedent: green r1, red r2 (the
+    # stale-green regression round), re-certified later — the derived
+    # value must postdate the red row
+    hist = ops._correctness_rows()
+    assert hist[2]["q56_hash_split"]["hash_match"] is False
+    assert ops._DRIVER_VERIFIED_ROUND["q56_hash_split"] > 2
