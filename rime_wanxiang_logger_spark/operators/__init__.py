@@ -171,7 +171,19 @@ def _correctness_rows() -> dict[int, dict]:
         try:
             rnd = int(p.stem.rsplit("_r", 1)[1])
             rows = _json.loads(p.read_text())
-        except (OSError, ValueError, IndexError):  # pragma: no cover
+        except (OSError, ValueError, IndexError):
+            # A present-but-unreadable record would silently degrade
+            # every name it verifies to "unverified" (ADVICE r6) —
+            # surface it; absence of the files entirely stays silent
+            # (installed package / bare checkout is the normal case).
+            import warnings
+
+            warnings.warn(
+                f"CORRECTNESS record {p.name} exists but failed to "
+                "parse; its rows are treated as unverified",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             continue
         if isinstance(rows, dict):
             out[rnd] = rows

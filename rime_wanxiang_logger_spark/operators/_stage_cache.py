@@ -38,8 +38,12 @@ Pinned-stage size classes (what a pin may cost):
   i.e. orders of magnitude narrower than the corpus text they index.
   The CC iteration already localCheckpoints a same-shaped table per
   round, so the pin adds at most one more copy of a table the session
-  has already stored. At cluster scale swap localCheckpoint for
-  checkpoint() on durable storage — same contract, fault-tolerant.
+  has already stored. At cluster scale set
+  ``spark.rime_wanxiang_logger_spark.stageCheckpointDir`` (session
+  conf) to a durable path and pins route through ``checkpoint()``
+  instead of ``localCheckpoint()`` — same contract, and the pinned
+  blocks survive executor loss because they live on reliable storage
+  rather than in executor block managers (see :func:`_pin`).
 
 IMMUTABILITY ASSUMPTION: pins are keyed by (applicationId, stage,
 sf_dir) and NOT by a data fingerprint — the files under ``sf_dir`` are
@@ -96,6 +100,38 @@ def _key(spark: SparkSession, name: str, sf_dir: str) -> tuple[str, str, str]:
     return (spark.sparkContext.applicationId, name, sf_dir)
 
 
+# Session conf key: when set to a path, stage pins use reliable
+# ``checkpoint()`` into that directory instead of executor-memory
+# ``localCheckpoint()``. This is the cluster-scale knob for the
+# corpus-proportional pins (cc_labels / q98_verdicts / q29_quality):
+# localCheckpoint blocks die with an executor, so a 1000-executor run
+# that loses a node mid-session would recompute the stage; a reliable
+# checkpoint on HDFS/S3 survives. Local behavior is unchanged when the
+# conf is absent (the default).
+CHECKPOINT_DIR_CONF = "spark.rime_wanxiang_logger_spark.stageCheckpointDir"
+
+
+def _pin(spark: SparkSession, df: DataFrame, *, eager: bool) -> DataFrame:
+    """Materialize-and-cut ``df`` for pinning: reliable ``checkpoint()``
+    when :data:`CHECKPOINT_DIR_CONF` is set, else ``localCheckpoint()``.
+
+    The conf is read per-pin (not cached) so a session can switch modes;
+    the SparkContext checkpoint dir is (re)pointed only when the conf
+    value changed, since ``setCheckpointDir`` is context-global."""
+    ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=eager)
+    global _CKPT_DIR_SET
+    ctx_key = (spark.sparkContext.applicationId, ckpt_dir)
+    if _CKPT_DIR_SET != ctx_key:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        _CKPT_DIR_SET = ctx_key
+    return df.checkpoint(eager=eager)
+
+
+_CKPT_DIR_SET: tuple[str, str] | None = None
+
+
 def clear(sf_dir: str | None = None) -> None:
     """Drop pinned stages — ALL of them, or only those for one
     ``sf_dir``. The escape hatch for callers that violate the
@@ -123,7 +159,7 @@ def provide(
     df = build()
     if not _ACTIVE:
         return df
-    pinned = df.localCheckpoint(eager=True)
+    pinned = _pin(spark, df, eager=True)
     _STORE[_key(spark, name, sf_dir)] = pinned
     return pinned
 
@@ -135,16 +171,20 @@ def consume(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Composition hook: read the pinned stage if a provider ran this
-    session, else build-and-pin. ALWAYS returns a localCheckpointed
+    session, else build-and-pin. ALWAYS returns a checkpointed
     DataFrame — compositions iterate over these stage outputs
     (connected components, recall joins), so the plan cut is a
     correctness/cost requirement with or without sharing. Outside a
-    sharing scope the checkpoint is LAZY (eager=False): the
-    plan-cut property is all the composition needs, and a raw
-    ``.explain()`` on a composition must not launch the stage's jobs
-    (it did pre-r6 — ADVICE r5)."""
+    sharing scope the checkpoint is LAZY (eager=False), which removes
+    the CHECKPOINT's job launch from plan construction; note the
+    caveat: for stages whose ``build`` is itself eager (the CC-backed
+    ``cc_labels`` / ``q98_verdicts``, whose connected-components
+    iteration drives per-round driver-side collects), constructing a
+    composition's plan still runs those build jobs — the lazy
+    checkpoint only makes plan construction job-free for stages with a
+    lazy build (``q104_bounds``, ``q29_quality``). ADVICE r6."""
     if not _ACTIVE:
-        return build().localCheckpoint(eager=False)
+        return _pin(spark, build(), eager=False)
     key = _key(spark, name, sf_dir)
     got = _STORE.get(key)
     if got is None:
@@ -153,6 +193,6 @@ def consume(
         # same key — reuse it rather than double-checkpointing
         got = _STORE.get(key)
         if got is None:
-            got = df.localCheckpoint(eager=True)
+            got = _pin(spark, df, eager=True)
             _STORE[key] = got
     return got

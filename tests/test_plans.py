@@ -1019,6 +1019,35 @@ def test_global_window_guard_flags_corpus_sized_input(spark, sf_dir):
     assert global_windows_not_on_aggregate(good) == []
 
 
+def test_constant_window_partition_is_folded(spark, sf_dir):
+    """The guard's load-bearing optimizer assumption (ADVICE r6):
+    Spark 4.x's EliminateWindowPartitions folds a constant
+    partitionBy(lit(...)) out of the window spec, so the
+    constant-partitioned corpus window reduces to the global shape the
+    guard recognizes. If this ever stops holding (pyspark downgrade,
+    rule disabled), this test fails loudly instead of the guard
+    silently passing the evading shape."""
+    from pyspark.sql import Window as W, functions as F
+
+    from rime_wanxiang_logger_spark.plans import (
+        global_windows_not_on_aggregate,
+    )
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    disguised = docs.withColumn(
+        "s", F.sum("n_chars").over(W.partitionBy(F.lit(1)))
+    )
+    opt = disguised._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(1," not in opt, (
+        "constant window partition was NOT folded — "
+        "EliminateWindowPartitions assumption violated"
+    )
+    assert global_windows_not_on_aggregate(disguised), (
+        "constant-partitioned corpus window evaded the guard"
+    )
+
+
 def test_q69_pmi_no_extra_explode(spark, sf_dir):
     """PMI totals derive from the aggregated vocab: one unigram and one
     bigram explode, never a third pass for the denominators."""

@@ -70,10 +70,15 @@ def test_scale_proof_artifact_is_sublinear():
     without any code regression — the median is stable unless the
     scaling behavior itself regresses across the board. Per-query
     outliers remain visible in the committed artifact and are
-    adjudicated in BASELINE.md, not auto-gated here."""
+    adjudicated in BASELINE.md. A GENEROUS per-query ceiling (ADVICE
+    r6) still backstops an outright single-query blowup: the worst
+    recorded ratio is 6.6×, so 15× is far outside the noise band but
+    well inside quadratic territory for 10× data."""
     data = json.loads((REPO / "scale_proof.json").read_text())
     assert len(data) >= 20
     ratios = sorted(v["ratio"] for v in data.values())
     assert all(r > 0 for r in ratios), ratios
     median = ratios[len(ratios) // 2]
     assert median < 5, (median, ratios)
+    worst = {k: v["ratio"] for k, v in data.items() if v["ratio"] >= 15}
+    assert not worst, worst
