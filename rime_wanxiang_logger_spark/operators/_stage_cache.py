@@ -82,6 +82,28 @@ def is_sharing() -> bool:
     return _ACTIVE
 
 
+# Telemetry (judge r6 next-round #7): when a recording list is
+# installed, consume() appends the name of every stage it served FROM
+# THE PIN (a read of a provider-refreshed or earlier-built pin — a
+# consumer-miss that builds the stage itself is the standalone cost and
+# is deliberately NOT recorded). bench.py installs a list around each
+# timed query so bench_full.json can self-describe which queries
+# consumed which pins in the recorded pass.
+_RECORD: list[str] | None = None
+
+
+@contextmanager
+def recording(into: list[str]):
+    """Install ``into`` as the pin-read log for the scope."""
+    global _RECORD
+    prev = _RECORD
+    _RECORD = into
+    try:
+        yield
+    finally:
+        _RECORD = prev
+
+
 @contextmanager
 def sharing():
     """Enable stage sharing for the duration of the scope (the scope
@@ -187,12 +209,15 @@ def consume(
         return _pin(spark, build(), eager=False)
     key = _key(spark, name, sf_dir)
     got = _STORE.get(key)
+    if got is not None:
+        if _RECORD is not None:
+            _RECORD.append(name)
+        return got
+    df = build()
+    # a provider-wrapped build() registers its own pin under the
+    # same key — reuse it rather than double-checkpointing
+    got = _STORE.get(key)
     if got is None:
-        df = build()
-        # a provider-wrapped build() registers its own pin under the
-        # same key — reuse it rather than double-checkpointing
-        got = _STORE.get(key)
-        if got is None:
-            got = _pin(spark, df, eager=True)
-            _STORE[key] = got
+        got = _pin(spark, df, eager=True)
+        _STORE[key] = got
     return got

@@ -159,3 +159,28 @@ def test_q104_bounds_are_exact_kth_smallest(spark, lens):
     want_lo = srt[-(-TRIM_LO_PCT * n // 100) - 1]  # ceil, 1-indexed
     want_hi = srt[-(-TRIM_HI_PCT * n // 100) - 1]
     assert (row["lo"], row["hi"]) == (want_lo, want_hi), (row, srt)
+
+
+def test_q117_cap_recall_invariants(spark, sf_dir):
+    """q117's three pair counts are nested by construction
+    (found_prod ⇒ found_content ⇒ found_cal: production witnesses all
+    count as content, content witnesses all count at the calibration
+    cap), n_lost_content is their difference, and the coverage ratio
+    renders prod/content (NULL on an empty content set). Pinning the
+    nesting here means a future edit that breaks the monotonicity —
+    e.g. classifying a df ≤ FP_DF_CAP fp as non-content — fails fast
+    without waiting for a driver round."""
+    from rime_wanxiang_logger_spark.operators.policy import (
+        q117_winnow_cap_recall,
+    )
+
+    row = q117_winnow_cap_recall(spark, sf_dir).collect()[0]
+    assert row.n_pairs_prod <= row.n_pairs_content <= row.n_pairs_cal
+    assert row.n_lost_content == row.n_pairs_content - row.n_pairs_prod
+    assert row.n_overcal_fps >= 0
+    if row.n_pairs_content == 0:
+        assert row.coverage_content is None
+    else:
+        assert row.coverage_content == (
+            row.n_pairs_prod / row.n_pairs_content
+        )
