@@ -221,22 +221,16 @@ def _derive_verified_rounds(
 # verified value-identical against the DuckDB oracle (sf0.01 + sf1
 # targeted sweep) before the round-end hash freeze.
 #
-# r6 re-queues (stage sharing for the dedup-cluster family):
-#   q53 — now the cc_labels stage PROVIDER (sharing-scope result is
-#     the pinned copy);
-#   q85/q98 — consume the shared cc_labels stage; q98 additionally
-#     provides q98_verdicts;
-#   q29 — provides the q29_quality stage;
-#   q116 — consumes q98_verdicts + q29_quality (on top of q104_bounds);
-#   q95 — Σw window re-derived + boundedness guard (same plan, the
-#     re-cert is belt-and-braces for the guard-covered rewrite cycle).
+# r7 re-queues (IVF coarse-quantizer rework, judge r6 #4): q44's seeds
+# are now the farthest-point greedy over a strided pool and the
+# centroid refinement an unrolled per-cell aggregate — centroids (and
+# therefore the probed cells, the top-k, and q111's recall histogram)
+# CHANGE, so both green r5/r6 rows are invalidated until the driver
+# re-certifies against the re-derived oracles (locally verified exact
+# at sf0.01 before the freeze).
 _REQUEUE = {
-    "q29_text_quality": 5,
-    "q53_dedup_clusters": 5,
-    "q85_leakfree_split": 5,
-    "q95_token_budget": 5,
-    "q98_survivor_policy": 5,
-    "q116_curation_pipeline": 5,
+    "q44_ann_ivf": 6,
+    "q111_ann_recall": 6,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(
