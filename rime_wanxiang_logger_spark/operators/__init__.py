@@ -228,8 +228,16 @@ def _derive_verified_rounds(
 # CHANGE, so both green r5/r6 rows are invalidated until the driver
 # re-certifies against the re-derived oracles (locally verified exact
 # at sf0.01 before the freeze).
+#
+# q107/q110 (belt-and-braces, the r6 q95 precedent): the stateful
+# replay is now batch-count-invariant (per-key last-event_id sequence
+# guard in the state schema) — drained results are value-identical
+# (multi-batch parity tests + local oracle run), but the state machine
+# changed, so both re-certify.
 _REQUEUE = {
     "q44_ann_ivf": 6,
+    "q107_stateful_asof": 6,
+    "q110_stream_page_rank": 6,
     "q111_ann_recall": 6,
 }
 
