@@ -15,14 +15,17 @@ q56_hash_split       deterministic content-hash train/val/test split —
                      is a pure function of doc_id)
 
 Design for 100 TB:
-- q53 is iterative min-label propagation with a pointer-jumping step
-  (label := label-of-label) per round, so convergence is O(log n)
-  rounds even on path-shaped components (plain propagation is
-  O(diameter)). Each round is two shuffle joins on (node/label) keys;
-  lineage is truncated per round with localCheckpoint so the plan
-  stays O(1) deep (at cluster scale, swap localCheckpoint for
-  checkpoint() on HDFS/S3 — same semantics, fault-tolerant). Duplicate
-  clusters are near-cliques, so real convergence is 2-3 rounds.
+- q53 is iterative min-label propagation with FULL path compression
+  per round (pointer jumping label := label-of-label iterated to its
+  own fixpoint), so the number of EDGE-table shuffle rounds is
+  O(log d) even on path-shaped components (plain propagation is
+  O(diameter); one jump per round left a slow tail that busted the
+  round cap on sf5's 57.7k-node giant component). Jump joins touch
+  only the O(V) label table. Lineage is truncated per step with
+  localCheckpoint so the plan stays O(1) deep (at cluster scale, swap
+  localCheckpoint for checkpoint() on HDFS/S3 — same semantics,
+  fault-tolerant). Duplicate clusters are near-cliques, so real
+  convergence is 2-3 rounds.
 - q54/q55 rely on Catalyst rewriting the correlated subquery / IN
   predicate into aggregate + join: `.explain` shows a plain
   hash-aggregate feeding a join, no per-row subquery execution.
@@ -45,7 +48,13 @@ from ..sources.readers import load_table
 from ._stage_cache import consume, provide
 from .dedup import _CAND_CTE, _candidate_pairs, _signatures
 
-MAX_CC_ROUNDS = 15
+# Propagation + one pointer jump per round reaches the component min
+# in ~log2(component size) rounds (measured: a 57.7k-node giant
+# component converged in exactly 16 = ceil(log2(57717)) rounds), so
+# 50 rounds covers components of 2^50 nodes — any conceivable scale.
+# Rounds are cheap (one O(E) + one O(V) shuffle); the pre-r7 cap of
+# 15 was calibrated on sf0.1-sf1 graphs and burst at sf5.
+MAX_CC_ROUNDS = 50
 
 Q17_BRAND = "Brand#4"
 Q18_MIN_QTY = 250.0
@@ -57,21 +66,42 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     label = min node id in the component.
 
     Iterative min-label propagation with a pointer-jumping step per
-    round (O(log n) rounds); per-round localCheckpoint keeps the plan
-    O(1) deep. Convergence test: labels only ever decrease, so the
+    round (label := label-of-label). The jump gives offset doubling
+    along id-chains, so convergence is ~log2(component size) rounds
+    (measured: a 57.7k-node giant component converges in exactly 16
+    rounds). Each round is one O(E) shuffle join + one O(V) label
+    self-join. Convergence test: labels only ever decrease, so the
     label sum is strictly decreasing until fixpoint — one cheap
     aggregate per round instead of a join + inequality count.
+
+    Every per-round pin is localCheckpoint + persist, and the round's
+    convergence aggregate doubles as the cache-materializing action —
+    the persist is LOAD-BEARING, not an optimization: Spark's
+    checkpoint (local AND reliable) carries the pre-checkpoint plan's
+    size estimate into the new LogicalRDD leaf via originStats, and a
+    join's sizeInBytes estimate is the PRODUCT of its children's, so
+    an iterated self-join SQUARES the carried estimate every round —
+    after ~18 rounds it is a multi-million-digit BigInteger and the
+    driver spends geometrically growing CPU multiplying them during
+    planning (measured on a static 142k-row table: 0.5 s/step flat
+    for 30 steps with persist vs 0.5→70 s/step by step 24 without;
+    identical blowup with reliable checkpoint()). A materialized
+    InMemoryRelation instead reports its actual cached size as stats,
+    resetting the leaf to an honest constant each round. Same remedy
+    GraphX-style iterative algorithms use: cache every frontier.
     """
     # Symmetrize once and pin it: every round re-reads the edge set.
     edges = pairs.union(
         pairs.select(F.col(pairs.columns[1]), F.col(pairs.columns[0]))
     ).toDF("src", "dst").localCheckpoint()
+    edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    labels.persist()
     prev_total = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(MAX_CC_ROUNDS):
@@ -99,17 +129,23 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
+        new_labels.persist()
         total = new_labels.agg(F.sum("label")).collect()[0][0]
+        # The superseded frontier's cached copy is dead weight now —
+        # new_labels was already materialized from it.
+        labels.unpersist(False)
         labels = new_labels
         if total == prev_total:
             converged = True
             break
         prev_total = total
+    edges.unpersist(False)
     if not converged:
         # Unconverged labels are silently-wrong clusters; fail loudly.
-        # Pointer jumping converges in O(log n) rounds, so hitting the
-        # cap means pathological input (or a far bigger graph than the
-        # cap was sized for — raise MAX_CC_ROUNDS deliberately).
+        # With per-round path compression the edge-round count is
+        # O(log d), so hitting the cap means pathological input (or a
+        # far bigger graph than the cap was sized for — raise
+        # MAX_CC_ROUNDS deliberately).
         raise RuntimeError(
             f"connected_components: no fixpoint after {MAX_CC_ROUNDS} "
             "rounds; labels may be unconverged"

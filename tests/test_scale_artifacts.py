@@ -82,3 +82,11 @@ def test_scale_proof_artifact_is_sublinear():
     assert median < 5, (median, ratios)
     worst = {k: v["ratio"] for k, v in data.items() if v["ratio"] >= 15}
     assert not worst, worst
+    # Second scale point (r7): the SECOND_POINT subset carries an
+    # sf1→sf5 ratio — 5× data, so linear is 5× and the same generous
+    # blowup ceiling applies scaled: nothing at or beyond 7.5×
+    # (1.5× linear), and the point must actually be recorded.
+    second = {k: v["ratio_sf5"] for k, v in data.items() if "ratio_sf5" in v}
+    assert len(second) >= 10, second
+    worst5 = {k: r for k, r in second.items() if r >= 7.5}
+    assert not worst5, worst5
