@@ -48,10 +48,13 @@ def main() -> None:
     # run-to-run scheduler/GC noise; the min is the reproducible cost
     # of the plan itself.
     # Stage sharing ON (operators/_stage_cache.py): providers
-    # (q25/q26/q44/q104) still rebuild every pass — their timings stay
-    # the honest plan cost — while compositions (q72/q111/q116) reuse
-    # the session's pinned stage outputs, which is their documented
-    # cost semantic (SURVEY §2.11f).
+    # (q25/q26/q52/q104 ...) still rebuild every pass — their timings
+    # stay the honest plan cost — while stage consumers (the
+    # STAGE_CONSUMERS tuple: compositions like q72/q111/q116, plus
+    # r8's index/fingerprint readers q44/q105/q117) reuse the
+    # session's pinned stage outputs, which is their documented cost
+    # semantic (SURVEY §2.11f); their standalone costs land in
+    # bench_nosharing.json below.
     from rime_wanxiang_logger_spark.operators._stage_cache import (
         STAGE_CONSUMERS,
         clear as clear_stage_pins,

@@ -221,24 +221,24 @@ def _derive_verified_rounds(
 # verified value-identical against the DuckDB oracle (sf0.01 + sf1
 # targeted sweep) before the round-end hash freeze.
 #
-# r7 re-queues (IVF coarse-quantizer rework, judge r6 #4): q44's seeds
-# are now the farthest-point greedy over a strided pool and the
-# centroid refinement an unrolled per-cell aggregate — centroids (and
-# therefore the probed cells, the top-k, and q111's recall histogram)
-# CHANGE, so both green r5/r6 rows are invalidated until the driver
-# re-certifies against the re-derived oracles (locally verified exact
-# at sf0.01 before the freeze).
-#
-# q107/q110 (belt-and-braces, the r6 q95 precedent): the stateful
-# replay is now batch-count-invariant (per-key last-event_id sequence
-# guard in the state schema) — drained results are value-identical
-# (multi-batch parity tests + local oracle run), but the state machine
-# changed, so both re-certify.
+# r8 re-queues (stage-sharing extensions, judge r7 #3/#4/#7). Values
+# are UNCHANGED for all six — locally verified exact vs the DuckDB
+# oracle (sf0.01 + sf1 targeted sweep) before the round-end freeze —
+# but the executed plans changed, so each re-certifies:
+#   q44/q111 — the IVF index (assignment + centroids) is now a
+#     consume()-pinned stage (built once per sharing session);
+#   q52 — now the q52_fps stage PROVIDER (its sharing-scope result is
+#     the pinned copy);
+#   q105/q117 — read the fingerprints through the q52_fps pin;
+#   q79 — power-iteration frontiers now pin via pin_frontier
+#     (persist + materializing count per round, the CC blowup remedy).
 _REQUEUE = {
-    "q44_ann_ivf": 6,
-    "q107_stateful_asof": 6,
-    "q110_stream_page_rank": 6,
-    "q111_ann_recall": 6,
+    "q44_ann_ivf": 7,
+    "q52_winnowing": 7,
+    "q79_pagerank": 7,
+    "q105_winnow_overlap": 7,
+    "q111_ann_recall": 7,
+    "q117_winnow_cap_recall": 7,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(
@@ -287,8 +287,27 @@ def _intra_package_imports(path: _Path) -> set[_Path]:
     return out
 
 
+# Pure-infrastructure files EXEMPT from the per-query hash closure
+# (judge r7 next-round #5). Rationale: _stage_cache.py sits in the
+# import closure of nearly every operator module, so any edit to it —
+# even one whose behavior is already pinned by its own contract suite
+# (tests/test_stage_cache.py) — staled the driver verification of the
+# majority of the registry (63/118 in r7, 13 more than the 50-slot
+# driver cap), crowding the rotation off the genuinely stalest rows.
+# The cache is plan plumbing, not query semantics: every query's
+# VALUES are independent of whether a stage was pinned or rebuilt
+# (bench_nosharing.json exists precisely to keep the two cost paths
+# separable), so its correctness lives in the contract tests, not in
+# per-query oracle rows. A file listed here must have a dedicated test
+# module exercising both of its behavior branches.
+_CLOSURE_EXEMPT = frozenset({"_stage_cache.py"})
+
+
 def _source_closure(path: _Path) -> list[_Path]:
-    """Transitive closure of ``path`` over intra-package imports."""
+    """Transitive closure of ``path`` over intra-package imports,
+    minus :data:`_CLOSURE_EXEMPT` infrastructure (still traversed, so
+    an exempt file's own imports — none today — would stay covered
+    through any non-exempt importer)."""
     seen: set[_Path] = set()
     stack = [path.resolve()]
     while stack:
@@ -297,7 +316,10 @@ def _source_closure(path: _Path) -> list[_Path]:
             continue
         seen.add(p)
         stack.extend(_intra_package_imports(p))
-    return sorted(seen)
+    return sorted(
+        p for p in seen
+        if p.name not in _CLOSURE_EXEMPT or p == path.resolve()
+    )
 
 
 _HASH_CACHE: dict[str, str] = {}

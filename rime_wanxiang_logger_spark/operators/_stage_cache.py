@@ -70,11 +70,14 @@ _STORE: dict[tuple[str, str, str], DataFrame] = {}
 # bench_nosharing.json so provider/composition cost stays separable
 # across rounds (judge r5 next-round #7 / ADVICE r5 #3).
 STAGE_CONSUMERS = (
+    "q44_ann_ivf",  # r8: reads the pinned IVF index (assign+centroids)
     "q72_semantic_dedup",
     "q85_leakfree_split",
     "q98_survivor_policy",
+    "q105_winnow_overlap",  # r8: reads pinned q52 fingerprints
     "q111_ann_recall",
     "q116_curation_pipeline",
+    "q117_winnow_cap_recall",  # r8: reads pinned q52 fingerprints
 )
 
 
@@ -204,9 +207,19 @@ def consume(
     iteration drives per-round driver-side collects), constructing a
     composition's plan still runs those build jobs — the lazy
     checkpoint only makes plan construction job-free for stages with a
-    lazy build (``q104_bounds``, ``q29_quality``). ADVICE r6."""
+    lazy build (``q104_bounds``, ``q29_quality``). ADVICE r6.
+
+    The non-sharing path is ALWAYS ``localCheckpoint`` — never the
+    durable :data:`CHECKPOINT_DIR_CONF` route (ADVICE r7): a raw call
+    only needs a plan cut, and Spark never cleans reliable checkpoints
+    (absent ``spark.cleaner.referenceTracking.cleanCheckpoints``), so
+    routing every raw composition call through ``checkpoint()`` would
+    write a new permanent checkpoint dir per call — unbounded durable-
+    storage growth. The durable knob exists for PINS, which must
+    survive executor loss precisely because later queries read them;
+    an unpinned cut dies with the plan that used it."""
     if not _ACTIVE:
-        return _pin(spark, build(), eager=False)
+        return build().localCheckpoint(eager=False)
     key = _key(spark, name, sf_dir)
     got = _STORE.get(key)
     if got is not None:

@@ -338,8 +338,15 @@ def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprints whose posting list exceeds FP_DF_CAP are dropped
     before the self-join (boilerplate hashes are signal for q99, noise
     here, and quadratic in their df) — the same bounded-postings rule
-    as q78's inverted index."""
-    fps = q52_winnowing(spark, sf_dir)
+    as q78's inverted index.
+
+    r8: the fingerprint table is read through the ``q52_fps`` stage
+    pin (q52 is the provider) — in a sharing session the overlap join
+    starts from the pinned index instead of re-winnowing the corpus;
+    a raw call still builds the full documented plan."""
+    fps = consume(
+        spark, "q52_fps", sf_dir, lambda: q52_winnowing(spark, sf_dir)
+    )
     df_ok = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -386,7 +393,10 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .mixture import BOILER_MIN_DF, BOILER_MIN_SOURCES
 
-    fps = q52_winnowing(spark, sf_dir)
+    # r8: same q52_fps stage pin as q105 (q52 provides).
+    fps = consume(
+        spark, "q52_fps", sf_dir, lambda: q52_winnowing(spark, sf_dir)
+    )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # q99's two-level source-count: (fp, source) partials, then per-fp
     # totals — no countDistinct Expand over the posting volume.

