@@ -583,9 +583,18 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(t).alias("n_true"),
         F.sum(c * (1 - t)).alias("n_false_pos"),
         F.sum(t * (1 - c)).alias("n_false_neg"),  # MUST be 0
+        # fp_rate is false-positives over TRUE NEGATIVES; when the
+        # corpus saturates the shingle space every training gram is
+        # also an eval gram (first hit: the sf20 sweep — 1M docs over
+        # a fixed vocab) and the denominator is 0: the rate is
+        # undefined, not infinite, so NULL (nullif mirrors the DuckDB
+        # oracle; a bare division aborts the job under ANSI mode).
         (
             F.sum(c * (1 - t))
-            / (F.count(F.lit(1)) - F.sum(t)).cast("double")
+            / F.nullif(
+                (F.count(F.lit(1)) - F.sum(t)).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("fp_rate"),
     )
 
@@ -1040,7 +1049,7 @@ ORACLE = {
                CAST(SUM(c * (1 - t)) AS BIGINT) AS n_false_pos,
                CAST(SUM(t * (1 - c)) AS BIGINT) AS n_false_neg,
                CAST(SUM(c * (1 - t)) AS BIGINT)
-                 / CAST(COUNT(*) - SUM(t) AS DOUBLE) AS fp_rate
+                 / NULLIF(CAST(COUNT(*) - SUM(t) AS DOUBLE), 0) AS fp_rate
         FROM flags
     """,
     "q109_source_drift": f"""

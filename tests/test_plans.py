@@ -1322,6 +1322,35 @@ def test_q108_bloom_single_train_pass_no_false_negatives(spark, sf_dir):
     assert row["n_true"] == n_true_q75, (row, n_true_q75)
 
 
+def test_q108_fp_rate_null_when_no_true_negatives(spark, tmp_path):
+    """Saturated shingle space (first hit: the r8 sf20 sweep — 1M docs
+    over a fixed vocab): every training gram is also an eval gram, so
+    there are no true negatives and fp_rate is undefined. It must come
+    back NULL — not a DIVIDE_BY_ZERO job abort under ANSI mode — with
+    the Bloom invariant n_false_neg == 0 intact."""
+    from rime_wanxiang_logger_spark.operators.policy import (
+        q108_bloom_decontaminate,
+    )
+
+    txt = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, txt, "en", "s0", len(txt)),  # eval (0 % 97 == 0)
+        (1, txt, "en", "s1", len(txt)),  # train, all grams in eval
+        (5, txt, "en", "s2", len(txt)),  # train, all grams in eval
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    (row,) = q108_bloom_decontaminate(spark, str(tmp_path)).collect()
+    assert row["n_probes"] > 0, row
+    assert row["n_true"] == row["n_probes"], row
+    assert row["n_false_neg"] == 0, row
+    assert row["fp_rate"] is None, row
+
+
 def test_q109_drift_two_phase_topk_no_unpartitioned_window(spark, sf_dir):
     """Source drift: per-source top-k must run two-phase (salted local
     rank then a rank over survivors) — no unpartitioned ordered window
