@@ -287,21 +287,52 @@ def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= NPROBE)
         .select("q_id", "cell")
     )
-    cand = probes.join(assign, "cell").where(
-        F.col("vec_id") != F.col("q_id")
-    ).select("q_id", "cell", F.col("vec_id").alias("n_id"))
-    scored = (
-        cand.join(F.broadcast(q), "q_id")
-        .join(
-            v.select(
-                F.col("vec_id").alias("n_id"), F.col("v").alias("vc"),
-                _norm("v").alias("nc"),
-            ),
-            "n_id",
+    # (r8) Candidates must never hit an exchange. The old shape ran
+    # probes ⋈ assign as an SMJ on the 8-value cell key (8 active
+    # tasks) and then joined the corpus vectors on n_id with the
+    # 32-dim QUERY vector already attached to every candidate row —
+    # once v outgrows the broadcast threshold that is a sort-merge
+    # shuffle of Σ|probed cells| wide rows (the sf20 sweep measured
+    # 11× wall for 4× data; ~75M × ~280 B spilling sorts). Scale-right
+    # shape: attach the query vectors to the PROBE table
+    # (QUERY_K×NPROBE rows — broadcast-able at any corpus scale),
+    # broadcast-hash-join it against the cell-keyed corpus (assignment
+    # ⋈ vectors on vec_id — the index's co-partitioned layout on a
+    # cluster), score in-row, and project narrow BEFORE the top-k
+    # window so the partial WindowGroupLimit sorts (q_id, cell, n_id,
+    # cosine) only. Remaining shuffles: the one vec_id join at corpus
+    # width and the exchange of the group-limited top-k survivors.
+    qp = probes.join(q, "q_id")  # q_id, cell, vq, nq
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    corpus = (
+        assign.join(v, "vec_id")
+        .select(
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            F.col("v").alias("vc"),
+            _norm("v").alias("nc"),
         )
-        .withColumn(
-            "cosine",
-            F.round(_dot("vq", "vc") / (F.col("nq") * F.col("nc")), 9),
+        # Explicit width for the scoring stage: AQE's size-based
+        # coalescing sees only the (small) assign ⋈ v shuffle and is
+        # blind to the ×(probes-per-cell) row fan-out of the broadcast
+        # join that follows — at sf20 it collapsed the entire
+        # candidate scoring onto ONE task (a 26-task stage with one
+        # 400-second straggler). REPARTITION_BY_NUM is exempt from
+        # coalescing, so the stage runs at the session's configured
+        # shuffle width; the exchange itself is one corpus-narrow
+        # pass, already dwarfed by the join it follows.
+        .repartition(n_parts, "n_id")
+    )
+    scored = (
+        corpus.join(F.broadcast(qp), "cell")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "cell",
+            "n_id",
+            F.round(
+                _dot("vq", "vc") / (F.col("nq") * F.col("nc")), 9
+            ).alias("cosine"),
         )
     )
     wk = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))

@@ -72,18 +72,32 @@ EMBED_DIM = 64
 
 
 def _dot(a: str, b: str) -> F.Column:
-    """Sequential-fold dot product of two double-array columns."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+    """Dot product of two EMBED_DIM double-array columns, UNROLLED
+    (the q66 rule). The former ``aggregate(zip_with(...))`` fold is a
+    CodegenFallback: Spark evaluates higher-order lambdas interpreted,
+    per row — measured ~100 µs/row cold on q44's sf20 scoring stage
+    (11,229 CPU-s for 75M candidate rows, 20× cheaper once C2 warmed
+    up; a one-shot query never gets the warm path). The unrolled
+    GetArrayItem chain stays inside whole-stage codegen at ~ns/row.
+
+    Bit-parity: the chain is seeded with 0.0 and left-associated, so
+    the IEEE summation order is exactly the fold's ((0.0+p0)+p1)+…
+    (Catalyst does not simplify x+0.0 for doubles — -0.0/NaN make it
+    unsound), which is also DuckDB's sequential list_sum twin."""
+    ca, cb = F.col(a), F.col(b)
+    s: F.Column = F.lit(0.0)
+    for i in range(EMBED_DIM):
+        s = s + ca[i] * cb[i]
+    return s
 
 
 def _norm(a: str) -> F.Column:
-    return F.sqrt(F.expr(
-        f"aggregate(transform({a}, x -> x * x), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    ))
+    """L2 norm, unrolled like :func:`_dot` (same fold order)."""
+    ca = F.col(a)
+    s: F.Column = F.lit(0.0)
+    for i in range(EMBED_DIM):
+        s = s + ca[i] * ca[i]
+    return F.sqrt(s)
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,6 +105,15 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it the single-row-group test file pins the whole
     # cross-join stage to one core (see readers.fanout docstring).
     emb = fanout(load_table(spark, sf_dir, "embeddings"))
+    # Deliberately the transform(...) HOF, NOT a CreateArray of the 64
+    # cast elements: a CreateArray-valued v is a PLANNING-time bomb —
+    # CollapseProject inlines the 64-child array into every one of the
+    # 128 GetArrayItem sites the unrolled _dot/_norm creates before
+    # SimplifyExtractValueOps can reduce them, and Catalyst spent
+    # 240 s of driver CPU optimizing q26's plan when we tried it (r8).
+    # GetArrayItem over an opaque HOF array stays a compact plan node;
+    # the HOF cast itself runs once per CORPUS row (never per
+    # candidate pair), so its interpreted cost is immaterial.
     return emb.select(
         "vec_id",
         "label",

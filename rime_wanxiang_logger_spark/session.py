@@ -51,6 +51,9 @@ def get_spark(
         # keep it out of the repo tree.
         .config("spark.sql.warehouse.dir", "/tmp/rime_spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # see ensure_session_conf: demote 8–64 KB WSCG methods (which
+        # HotSpot never JITs) to per-operator codegen
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -68,4 +71,19 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     # Stateful streaming disables AQE, so the static setting matters:
     # default 200 over-parallelizes local mode badly.
     spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    # Align whole-stage-codegen demotion with HotSpot's JIT ceiling.
+    # Spark's default (65535) only guards Janino's hard limit; HotSpot
+    # refuses to JIT any method over 8000 bytecode bytes
+    # (-XX:DontCompileHugeMethods, on by default), so a WSCG subtree
+    # whose processNext() lands in 8–64 KB compiles fine and then runs
+    # INTERPRETED forever. The engine's unrolled EMBED_DIM=64 vector
+    # expressions (q66 rule — _dot/_norm, quantization, centroid
+    # means) produce exactly such methods: q44's sf20 candidate
+    # scoring burned 11,229 CPU-s interpreted (~100 µs/row) and
+    # dropped ~20× once compiled. At 8000 Spark demotes those subtrees
+    # to per-operator codegen, where single-expression projections
+    # stay under the limit and JIT normally — measured 2.6× on q44 at
+    # sf5 (80.5 s → 31.1 s). Cluster note: the same ceiling applies to
+    # every executor JVM, so this is a conf fix, not a local-mode hack.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     return spark
