@@ -30,6 +30,13 @@ SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
 # subset also runs sf1 -> sf5 (5x data beyond the first decade) so the
 # trend is confirmed on two decades rather than extrapolated from one.
 SF5 = os.environ.get("SPARK_GRAFT_SF5_DIR", "/tmp/sf5")
+# Third scale point (r8): sf5 -> sf20 (4x more data, SFX=200 — 2.5 s
+# of facts-per-dimension-row past the second decade, 1M fresh docs /
+# 400k fresh embeddings). Each prior extension of this sweep caught a
+# real latent bug (sf1: nondeterministic-column exchange reuse; sf5:
+# iterated-checkpoint stats squaring), so the decades keep extending
+# while wall-clock allows.
+SF20 = os.environ.get("SPARK_GRAFT_SF20_DIR", "/tmp/sf20")
 
 # The bench's most expensive queries + the super-linear watch list.
 QUERIES = [
@@ -99,22 +106,32 @@ def main() -> None:
             flush=True,
         )
 
-    if os.path.isdir(SF5):
+    # Extra decade points: each runs the SECOND_POINT subset at a
+    # larger dir and records the ratio vs the PREVIOUS point, so every
+    # recorded ratio is a within-decade measurement (5x then 4x data).
+    for d, label, prev, factor in (
+        (SF5, "sf5", "sf1", "5x"),
+        (SF20, "sf20", "sf5", "4x"),
+    ):
+        if not os.path.isdir(d):
+            continue
         import glob as _glob
 
-        for p in sorted(_glob.glob(f"{SF5}/*.parquet")):
+        for p in sorted(_glob.glob(f"{d}/*.parquet")):
             spark.read.parquet(p).count()
         for name in SECOND_POINT:
+            if prev not in out[name]:
+                continue
             fn = funcs[name]
             t0 = time.perf_counter()
-            fn(spark, SF5).write.format("noop").mode("overwrite").save()
-            sf5_wall = round(time.perf_counter() - t0, 2)
-            out[name]["sf5"] = sf5_wall
-            out[name]["ratio_sf5"] = round(sf5_wall / out[name]["sf1"], 1)
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 2)
+            out[name][label] = wall
+            out[name][f"ratio_{label}"] = round(wall / out[name][prev], 1)
             print(
-                f"{name:28s} sf1 {out[name]['sf1']:7.2f}s   sf5 "
-                f"{sf5_wall:8.2f}s   ratio {out[name]['ratio_sf5']:6.1f}x"
-                " (5x data)",
+                f"{name:28s} {prev} {out[name][prev]:7.2f}s   {label} "
+                f"{wall:8.2f}s   ratio {out[name][f'ratio_{label}']:6.1f}x"
+                f" ({factor} data)",
                 flush=True,
             )
 

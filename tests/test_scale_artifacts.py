@@ -90,3 +90,23 @@ def test_scale_proof_artifact_is_sublinear():
     assert len(second) >= 10, second
     worst5 = {k: r for k, r in second.items() if r >= 7.5}
     assert not worst5, worst5
+    # Third scale point (r8): sf5→sf20 is 4× data, so linear is 4×.
+    # A single decade on this shared host carries ±50% noise (q25
+    # measured 6.6× in one sweep and 2.3× in a clean standalone A/B
+    # minutes later), so the per-decade ceiling is the loose 2×-linear
+    # backstop (8×) and the REAL gate is cumulative: across all three
+    # points the data grows 200× (sf0.1→sf20), so the 1.5×-linear
+    # ceiling is 300× on the product of the per-decade ratios —
+    # one noisy decade can't fail a genuinely linear query, while a
+    # genuinely super-linear one compounds and still trips it.
+    third = {k: v["ratio_sf20"] for k, v in data.items() if "ratio_sf20" in v}
+    assert len(third) >= 10, third
+    worst20 = {k: r for k, r in third.items() if r >= 8.0}
+    assert not worst20, worst20
+    cum = {
+        k: round(v["ratio"] * v["ratio_sf5"] * v["ratio_sf20"], 1)
+        for k, v in data.items()
+        if "ratio_sf20" in v
+    }
+    worst_cum = {k: r for k, r in cum.items() if r >= 300.0}
+    assert not worst_cum, worst_cum
