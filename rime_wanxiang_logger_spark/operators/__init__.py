@@ -232,11 +232,21 @@ def _derive_verified_rounds(
 #   q105/q117 — read the fingerprints through the q52_fps pin;
 #   q79 — power-iteration frontiers now pin via pin_frontier
 #     (persist + materializing count per round, the CC blowup remedy).
+#
+# r8 second batch (the sf20-sweep fixes). Values verified unchanged at
+# sf0.01 (all 118 exact vs DuckDB) but the executed plans changed:
+#   q108 — fp_rate now NULL (nullif) when the corpus has no
+#     true-negative grams (the sf20 divide-by-zero fix);
+#   q26/q44/q111 — _dot/_norm unrolled over EMBED_DIM (q66 rule) and
+#     q44's candidate side reworked exchange-free with an explicit
+#     scoring-stage width (q111 consumes both top-k tables).
 _REQUEUE = {
+    "q26_ann_topk": 7,
     "q44_ann_ivf": 7,
     "q52_winnowing": 7,
     "q79_pagerank": 7,
     "q105_winnow_overlap": 7,
+    "q108_bloom_decontaminate": 7,
     "q111_ann_recall": 7,
     "q117_winnow_cap_recall": 7,
 }
