@@ -162,6 +162,55 @@ def test_q44_ivf_broadcasts_centroids_and_queries(spark, sf_dir):
     assert has_broadcast_join(df), explain_str(df)
 
 
+def test_q44_candidates_never_hit_an_exchange(spark, sf_dir):
+    """The r8 sf20 invariants: (1) the probe table joins the corpus as
+    a BROADCAST hash join on cell — never a sort-merge join on the
+    8-value key (8 active tasks) and never an n_id join carrying the
+    query vector per candidate row; (2) the scoring stage's width is
+    pinned with an explicit REPARTITION_BY_NUM (AQE's size-based
+    coalescing is blind to the probe join's row fan-out and collapsed
+    scoring onto one task at sf20); (3) the top-k runs through the
+    partial+final WindowGroupLimit pair, so only group-limited
+    survivors reach the q_id exchange. Violating any of these was a
+    measured 4-11x super-linearity at sf20 (443s -> 23s fixed)."""
+    import re
+
+    from rime_wanxiang_logger_spark.operators.advanced import q44_ann_ivf
+
+    df = q44_ann_ivf(spark, sf_dir)
+    plan = explain_str(df)
+    # formatted mode lists each op as "(N) OpName" followed by detail
+    # lines ("Left keys [1]: [cell#..]") — classify joins by key
+    blocks = re.split(r"\n\(\d+\) ", "\n" + plan)
+    cell_key_blocks = [
+        b for b in blocks if re.search(r"Left keys \[\d+\]: \[cell#", b)
+    ]
+    assert cell_key_blocks, plan
+    for b in cell_key_blocks:
+        assert b.startswith("BroadcastHashJoin"), b.split("\n")[0]
+    smj_keys = [
+        re.search(r"Left keys \[\d+\]: \[(\w+)#", b)
+        for b in blocks
+        if b.startswith("SortMergeJoin")
+    ]
+    # no sort-merge join on cell or on the candidate id
+    assert not any(m and m.group(1) in ("cell", "n_id") for m in smj_keys), plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_session_conf_jit_compilable_codegen(spark):
+    """ensure_session_conf must align Spark's whole-stage-codegen
+    demotion with HotSpot's JIT ceiling: methods over 8000 bytecode
+    bytes are never JIT-compiled (DontCompileHugeMethods), so the
+    default 65535 limit leaves 8-64KB generated methods interpreted
+    forever (~100us/row on the unrolled EMBED_DIM chains)."""
+    from rime_wanxiang_logger_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+
+
 def test_q49_salted_join_not_broadcast(spark, sf_dir):
     """The skew-salt demo must actually exercise a shuffled join on the
     salted key — a broadcast would silently hide the pattern."""
