@@ -240,9 +240,14 @@ def _derive_verified_rounds(
 #   q26/q44/q111 — _dot/_norm unrolled over EMBED_DIM (q66 rule) and
 #     q44's candidate side reworked exchange-free with an explicit
 #     scoring-stage width (q111 consumes both top-k tables).
+#   q92 — the stream-static admit join now reads a PINNED standing
+#     band table (it re-ran the corpus MinHash pass per micro-batch at
+#     the stream's narrow width: 22.6× wall for 5× data in the r8
+#     sweep; 253 s → 14.5 s at sf5 fixed).
 _REQUEUE = {
     "q26_ann_topk": 7,
     "q44_ann_ivf": 7,
+    "q92_dedup_admit": 7,
     "q52_winnowing": 7,
     "q79_pagerank": 7,
     "q105_winnow_overlap": 7,

@@ -576,18 +576,24 @@ def q92_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.twin import dedup_admit_stream
 
     schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # file sources want a directory; glob-select the documents
+        # table (the read_events_stream pattern, streaming/twin.py)
+        .option("pathGlobFilter", "documents*.parquet")
+        .load(sf_dir)
+        .where((F.col("doc_id") % INCR_MOD) == F.lit(INCR_REM))
+    )
+    # Build the plan OUTSIDE the state-width scope: the standing band
+    # table's eager pin (streaming/twin.dedup_admit_stream) then
+    # materializes at the session's full batch width; only the stream
+    # START below needs the narrow width (state-store instance count
+    # is fixed at stream start — _stream_state_width docstring).
+    admit = dedup_admit_stream(spark, stream, sf_dir)
     with _stream_state_width(spark):
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            # file sources want a directory; glob-select the documents
-            # table (the read_events_stream pattern, streaming/twin.py)
-            .option("pathGlobFilter", "documents*.parquet")
-            .load(sf_dir)
-            .where((F.col("doc_id") % INCR_MOD) == F.lit(INCR_REM))
-        )
         q = (
-            dedup_admit_stream(spark, stream, sf_dir)
+            admit
             .writeStream.format("memory")
             .queryName("q92_dedup_admit_sink")
             # UPDATE mode (r5): the admit aggregate is watermarked per

@@ -522,9 +522,20 @@ def dedup_admit_stream(
     from ..operators.dedup import _bands, _signatures
     from ..sources.readers import load_table
 
+    # PIN the standing band table (q86 pins its signature table the
+    # same way). A stream-static join re-evaluates the static side
+    # EVERY micro-batch, and unpinned that means re-running the
+    # corpus-wide MinHash signature pass per batch — at the stream's
+    # narrow state width, since the static subplan inherits the
+    # stream's shuffle-partitions setting. The r8 sf5 sweep measured
+    # the compound: 11.2 s → 253.3 s for 5× data (22.6×). Eager so the
+    # materialization happens NOW, at the caller's full batch width,
+    # not lazily inside the width-8 stream scope. In production this
+    # is the nightly-refreshed persisted band table (docstring above);
+    # the pin is that table's session-local stand-in.
     corpus_bands = _bands(
         _signatures(load_table(spark, sf_dir, "documents"))
-    )
+    ).localCheckpoint()
     new_bands = _bands(_signatures(new_docs))
     cand = (
         new_bands.alias("n")

@@ -75,6 +75,10 @@ SECOND_POINT = [
     "q105_winnow_overlap",
     "q25_embedding_neardup",
     "q44_ann_ivf",
+    # r8b: the streaming plane's scale representative — unbounded
+    # watermark-evicted dedup-admit state was previously proven only
+    # to sf1; its micro-batch fixed cost must not compound with data.
+    "q92_dedup_admit",
 ]
 
 
