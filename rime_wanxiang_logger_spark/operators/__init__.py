@@ -221,40 +221,14 @@ def _derive_verified_rounds(
 # verified value-identical against the DuckDB oracle (sf0.01 + sf1
 # targeted sweep) before the round-end hash freeze.
 #
-# r8 re-queues (stage-sharing extensions, judge r7 #3/#4/#7). Values
-# are UNCHANGED for all six — locally verified exact vs the DuckDB
-# oracle (sf0.01 + sf1 targeted sweep) before the round-end freeze —
-# but the executed plans changed, so each re-certifies:
-#   q44/q111 — the IVF index (assignment + centroids) is now a
-#     consume()-pinned stage (built once per sharing session);
-#   q52 — now the q52_fps stage PROVIDER (its sharing-scope result is
-#     the pinned copy);
-#   q105/q117 — read the fingerprints through the q52_fps pin;
-#   q79 — power-iteration frontiers now pin via pin_frontier
-#     (persist + materializing count per round, the CC blowup remedy).
-#
-# r8 second batch (the sf20-sweep fixes). Values verified unchanged at
-# sf0.01 (all 118 exact vs DuckDB) but the executed plans changed:
-#   q108 — fp_rate now NULL (nullif) when the corpus has no
-#     true-negative grams (the sf20 divide-by-zero fix);
-#   q26/q44/q111 — _dot/_norm unrolled over EMBED_DIM (q66 rule) and
-#     q44's candidate side reworked exchange-free with an explicit
-#     scoring-stage width (q111 consumes both top-k tables).
-#   q92 — the stream-static admit join now reads a PINNED standing
-#     band table (it re-ran the corpus MinHash pass per micro-batch at
-#     the stream's narrow width: 22.6× wall for 5× data in the r8
-#     sweep; 253 s → 14.5 s at sf5 fixed).
-_REQUEUE = {
-    "q26_ann_topk": 7,
-    "q44_ann_ivf": 7,
-    "q92_dedup_admit": 7,
-    "q52_winnowing": 7,
-    "q79_pagerank": 7,
-    "q105_winnow_overlap": 7,
-    "q108_bloom_decontaminate": 7,
-    "q111_ann_recall": 7,
-    "q117_winnow_cap_recall": 7,
-}
+# r9 open: the nine r8 re-queues (stage-sharing extensions + the sf20
+# sweep fixes — q26/q44/q52/q79/q92/q105/q108/q111/q117) all expired:
+# CORRECTNESS_r08.json carries a fully-green row for each, so the
+# derivation already outranked their `: 7` entries. Pruned per the
+# round-open checklist. Add entries here ONLY for queries whose
+# executed plan changes this round (values locally re-verified vs the
+# DuckDB oracle before the round-end hash freeze).
+_REQUEUE: dict[str, int] = {}
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(
     _correctness_rows(), _REQUEUE

@@ -267,7 +267,7 @@ def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: probe the NPROBE nearest refined centroids per query,
     exact cosine top-k within the probed cells. Same output shape as
     q26 so recall against the exact baseline is directly measurable."""
-    v = _vecs(spark, sf_dir)
+    v = _vecs(spark, sf_dir, checked=True)
     assign, cent = _ivf_index(spark, sf_dir, v)
     cent = cent.withColumn("cn", _norm("cv"))
     q = query_subset(v).select(

@@ -130,6 +130,11 @@ def q79_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             prev.unpersist(False)
         prev = ranks
+    # Final-frontier cache drop (ADVICE r8, pin_frontier caller
+    # contract): the count() above materialized it, and the returned
+    # join re-reads the localCheckpoint blocks — unpersisting changes
+    # no values, it stops leaking one cached O(V) ranks table per call.
+    ranks.unpersist(False)
     return ranks.join(deg, "node").select(
         F.col("node").alias("doc_id"),
         F.col("deg").alias("degree"),

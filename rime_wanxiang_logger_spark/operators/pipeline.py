@@ -78,9 +78,15 @@ def pin_frontier(df: DataFrame) -> DataFrame:
 
     Caller contract: run an action against the returned frame before
     building the next round's plan on it (materializes the cache —
-    cheap, it re-reads the checkpointed blocks), and unpersist the
-    superseded frontier. At cluster scale swap localCheckpoint for
-    reliable checkpoint() — same stats remedy, fault-tolerant."""
+    cheap, it re-reads the checkpointed blocks), unpersist the
+    superseded frontier, and unpersist the FINAL frontier too before
+    returning from the loop (ADVICE r8 — the cache served its
+    stats-resetting purpose once the iteration is over; the
+    localCheckpoint blocks keep backing any lazy result built on it,
+    so dropping the cache changes no values, it just stops leaking one
+    O(V) InMemoryRelation per call into the session). At cluster scale
+    swap localCheckpoint for reliable checkpoint() — same stats
+    remedy, fault-tolerant."""
     out = df.localCheckpoint()
     out.persist()
     return out
@@ -155,6 +161,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             break
         prev_total = total
     edges.unpersist(False)
+    # Drop the final frontier's cache too (ADVICE r8): the convergence
+    # aggregate already materialized it, and its localCheckpoint blocks
+    # still back the returned plan — without this every CC call leaked
+    # one cached O(V) labels table into the session for the bench/sweep
+    # lifetime. Downstream consumers re-read checkpoint blocks, not the
+    # iterated lineage, so values are unchanged.
+    labels.unpersist(False)
     if not converged:
         # Unconverged labels are silently-wrong clusters; fail loudly.
         # With a pointer jump per round the round count is

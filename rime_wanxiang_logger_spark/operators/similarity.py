@@ -83,24 +83,31 @@ def _dot(a: str, b: str) -> F.Column:
     Bit-parity: the chain is seeded with 0.0 and left-associated, so
     the IEEE summation order is exactly the fold's ((0.0+p0)+p1)+…
     (Catalyst does not simplify x+0.0 for doubles — -0.0/NaN make it
-    unsound), which is also DuckDB's sequential list_sum twin."""
-    ca, cb = F.col(a), F.col(b)
-    s: F.Column = F.lit(0.0)
-    for i in range(EMBED_DIM):
-        s = s + ca[i] * cb[i]
-    return s
+    unsound), which is also DuckDB's sequential list_sum twin.
+
+    Built as ONE SQL string through ``F.expr`` (r9): the former
+    Python-side ``s = s + ca[i] * cb[i]`` loop issued ~400 py4j round
+    trips per chain, and a q26/q44 call builds 3–5 chains — measured
+    1.24 s of driver-side DataFrame CONSTRUCTION per q26 call at any
+    SF (the unadjudicated r8 bench regression). The SQL parser builds
+    the identical left-associated tree (``+`` is left-associative,
+    ``a[i]`` resolves to the same GetArrayItem) JVM-side in
+    microseconds. ``0.0D`` — SQL ``0.0`` would parse as DECIMAL and
+    change the summation type."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(EMBED_DIM))
+    return F.expr(f"0.0D + {terms}")
 
 
 def _norm(a: str) -> F.Column:
-    """L2 norm, unrolled like :func:`_dot` (same fold order)."""
-    ca = F.col(a)
-    s: F.Column = F.lit(0.0)
-    for i in range(EMBED_DIM):
-        s = s + ca[i] * ca[i]
-    return F.sqrt(s)
+    """L2 norm, unrolled like :func:`_dot` (same fold order, same
+    single-string construction)."""
+    terms = " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(EMBED_DIM))
+    return F.sqrt(F.expr(f"0.0D + {terms}"))
 
 
-def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vecs(
+    spark: SparkSession, sf_dir: str, *, checked: bool = False
+) -> DataFrame:
     # fanout: the 64-dim dot-product folds downstream cost ~µs/pair;
     # without it the single-row-group test file pins the whole
     # cross-join stage to one core (see readers.fanout docstring).
@@ -114,11 +121,28 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GetArrayItem over an opaque HOF array stays a compact plan node;
     # the HOF cast itself runs once per CORPUS row (never per
     # candidate pair), so its interpreted cost is immaterial.
-    return emb.select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
+    #
+    # ``checked`` — dimension guard (ADVICE r8), opt-in for the
+    # consumers whose math indexes FIXED positions 0..EMBED_DIM-1 (the
+    # unrolled _dot/_norm chains, q66's per-dimension stats): there a
+    # short vector would yield NULL — silently dropped by every top-k
+    # sort — where the old HOF fold summed the actual length. Fail
+    # loud once per corpus row instead (raise_error keeps plan
+    # construction lazy, the q44 seeds-guard pattern; NullType coerces
+    # to the array type in the CASE). The HOF-fold consumers (q25's
+    # banding, q27's signatures) stay unguarded — they are
+    # dimension-agnostic by design and tested on non-64-dim corpora
+    # (tests/test_plans.py::test_q25_budget_tracks_skewed_corpus).
+    cast_expr = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    if checked:
+        cast_expr = (
+            f"CASE WHEN size(embedding) = {EMBED_DIM} THEN {cast_expr} "
+            "ELSE raise_error(concat('embeddings.embedding must have "
+            f"exactly {EMBED_DIM} elements, got ', "
+            "cast(size(embedding) as string), ' at vec_id ', "
+            "cast(vec_id as string))) END"
+        )
+    return emb.select("vec_id", "label", F.expr(cast_expr).alias("v"))
 
 
 #: q25's banding (decoupled from q27's demo 8-bit signature): 48
@@ -238,7 +262,7 @@ def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall oracle the banded q25 is measured against in tests
     (tests/test_oracle_parity.py), the same pattern as q44's recall
     floor vs q26. Never run this form on a full corpus."""
-    v = _vecs(spark, sf_dir)
+    v = _vecs(spark, sf_dir, checked=True)
     a = v.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
@@ -567,7 +591,7 @@ def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for the capped strided query subset
     (≤ QUERY_K queries at any scale); query side broadcast — O(K·d),
     constant in the corpus — corpus side streamed, no corpus shuffle."""
-    v = _vecs(spark, sf_dir)
+    v = _vecs(spark, sf_dir, checked=True)
     q = query_subset(v).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("vq"),
@@ -634,7 +658,7 @@ def q66_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     element without array-typed columns. The dimension is the EMBED_DIM
     corpus contract — no driver job runs during plan construction.
     """
-    v = _vecs(spark, sf_dir)
+    v = _vecs(spark, sf_dir, checked=True)
     dim = EMBED_DIM
     stats = v.agg(
         F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("lo"),

@@ -1481,3 +1481,30 @@ def test_q116_funnel_monotone_and_grounded(spark, sf_dir):
     # stage 2 = exact-survivors ∩ near-dup survivors; with exact dups
     # already collapsed the intersection equals q98's keep set
     assert n[2] <= keep98
+
+
+def test_vecs_dimension_guard_fails_loud_on_short_vectors(spark, tmp_path):
+    """ADVICE r8: the unrolled _dot/_norm chains index fixed positions
+    0..EMBED_DIM-1, so a short vector used to yield NULL cosine —
+    silently dropped by the top-k sort. checked=True must raise
+    instead; checked=False (the dimension-agnostic HOF-fold path) must
+    keep accepting any width."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql.utils import CapturedException
+
+    from rime_wanxiang_logger_spark.operators.similarity import _vecs
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "label": ["a", "b"],
+            "embedding": [[1.0] * 64, [1.0] * 63],  # one short row
+        }
+    )
+    out = str(tmp_path / "shortvec")
+    spark.createDataFrame(pdf).write.parquet(out + "/embeddings.parquet")
+    with pytest.raises(CapturedException, match="exactly 64 elements"):
+        _vecs(spark, out, checked=True).collect()
+    got = _vecs(spark, out).collect()  # unguarded path: both rows pass
+    assert sorted(len(r["v"]) for r in got) == [63, 64]

@@ -166,3 +166,28 @@ def test_stage_cache_exempt_from_hash_closure():
     assert "similarity.py" in closure(advanced)
     from rime_wanxiang_logger_spark.operators import _stage_cache
     assert "_stage_cache.py" in closure(_stage_cache)
+
+
+def test_closure_exempt_files_have_dedicated_contract_suites():
+    # ADVICE r8: the exemption's precondition — "a file listed here
+    # must have a dedicated test module exercising its behavior" — was
+    # prose. Enforce it mechanically: every exempt file must ship a
+    # tests/test_<name>.py with a non-trivial number of test functions,
+    # so removing or gutting the contract suite while keeping the
+    # exemption fails loudly here.
+    tests_dir = Path(__file__).resolve().parent
+    for fname in ops._CLOSURE_EXEMPT:
+        suite = tests_dir / f"test_{fname.removesuffix('.py').lstrip('_')}.py"
+        assert suite.is_file(), (
+            f"{fname} is hash-closure-exempt but has no dedicated "
+            f"contract suite at {suite.name}"
+        )
+        n_tests = sum(
+            1
+            for line in suite.read_text().splitlines()
+            if line.startswith("def test_")
+        )
+        assert n_tests >= 3, (
+            f"{suite.name} has only {n_tests} test functions — too thin "
+            f"to justify exempting {fname} from the hash closure"
+        )
