@@ -247,16 +247,23 @@ def _ivf_index(
             .select("vec_id", "cell")
         ),
     )
+    # Single-string construction (the r9 _dot/_norm rule): the SQL is
+    # the exact dsum(scale=9)/COUNT(1) tree — FLOOR(x*1.0E9 + 0.5D)
+    # summed as BIGINT, divided back in double — built in one parse
+    # instead of 64 py4j dsum chains per consumer-miss.
+    _cent_term = (
+        "CAST(CAST(SUM(CAST(FLOOR(v[{i}] * 1.0E9 + 0.5D) AS BIGINT)) "
+        "AS DOUBLE) / 1.0E9 AS DOUBLE) / COUNT(1)"
+    )
     cent = consume(
         spark,
         "q44_ivf_cent",
         sf_dir,
         lambda: assign.join(v, "vec_id").groupBy("cell").agg(
-            F.array(
-                *[
-                    dsum(F.col("v")[i], scale=9) / F.count(F.lit(1))
-                    for i in range(EMBED_DIM)
-                ]
+            F.expr(
+                "array("
+                + ",".join(_cent_term.format(i=i) for i in range(EMBED_DIM))
+                + ")"
             ).alias("cv")
         ),
     )

@@ -660,9 +660,17 @@ def q66_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vecs(spark, sf_dir, checked=True)
     dim = EMBED_DIM
+    # Single-string construction (the r9 _dot/_norm rule): the former
+    # per-element F.min(F.col("v")[i]) loops issued ~4 py4j round
+    # trips per column × 128 columns per call; one parsed expression
+    # builds the identical tree JVM-side.
     stats = v.agg(
-        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("lo"),
-        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("hi"),
+        F.expr(
+            "array(" + ",".join(f"min(v[{i}])" for i in range(dim)) + ")"
+        ).alias("lo"),
+        F.expr(
+            "array(" + ",".join(f"max(v[{i}])" for i in range(dim)) + ")"
+        ).alias("hi"),
     )
     return (
         v.crossJoin(F.broadcast(stats))

@@ -110,3 +110,28 @@ def test_scale_proof_artifact_is_sublinear():
     }
     worst_cum = {k: r for k, r in cum.items() if r >= 300.0}
     assert not worst_cum, worst_cum
+    # ADVICE r8: the sf5/sf20 membership checks above used to be
+    # floor-counts only, so a SECOND_POINT query silently absent from
+    # the artifact (q92's r8 case: added to the script after the sweep
+    # ran) skipped its gates. Whenever ANY query carries a decade
+    # point, EVERY script-declared SECOND_POINT query must carry it.
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        from scale_proof import SECOND_POINT
+    finally:
+        sys.path.pop(0)
+    for label, present in (("ratio_sf5", second), ("ratio_sf20", third)):
+        if present:
+            missing = set(SECOND_POINT) - set(present)
+            assert not missing, (label, missing)
+    # Auto clean A/Bs (fresh-JVM re-measures of near-gate sweep
+    # points) must themselves sit inside the per-decade ceilings —
+    # a clean point has no session-noise excuse.
+    for v in data.values():
+        for label, ceil in (("clean_ratio_sf5", 7.5),
+                            ("clean_ratio_sf20", 8.0)):
+            if label in v:
+                assert isinstance(v[label], (int, float)) and v[label] < ceil, (
+                    label, v)
