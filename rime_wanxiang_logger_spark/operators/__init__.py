@@ -242,6 +242,13 @@ def _derive_verified_rounds(
 #   q116 — consumes q98/q29/q104 pins, which materialize lazily now
 #     (provider pins eager->lazy; values pin-vs-rebuild-invariant by
 #     the stage-cache contract, requeued out of caution).
+#   q105/q117/q116 (r9b) — corpus-proportional joins over checkpoint
+#     pins are now PINNED to sort-merge via hints: the pins' LogicalRDD
+#     originStats understate real size by orders of magnitude, so the
+#     static planner broadcast the full posting list (q117 driver-OOM
+#     at sf5) and three per-doc verdict tables (q116) — the r9
+#     pin-consumer audit's catch. Values verified exact at sf0.01 and
+#     sf1 post-hint.
 _REQUEUE: dict[str, int] = {
     "q26_ann_topk": 8,
     "q44_ann_ivf": 8,
@@ -251,6 +258,8 @@ _REQUEUE: dict[str, int] = {
     "q53_dedup_clusters": 8,
     "q72_semantic_dedup": 8,
     "q116_curation_pipeline": 8,
+    "q105_winnow_overlap": 8,
+    "q117_winnow_cap_recall": 8,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

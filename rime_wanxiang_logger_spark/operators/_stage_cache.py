@@ -45,6 +45,19 @@ Pinned-stage size classes (what a pin may cost):
   blocks survive executor loss because they live on reliable storage
   rather than in executor block managers (see :func:`_pin`).
 
+STATS HAZARD (r9): a checkpointed pin is a LogicalRDD whose
+``originStats`` carry the SOURCE PLAN'S ESTIMATE, not the materialized
+size — measured 8.1 MiB claimed vs GB-scale actual for the q52_fps
+posting list at sf5. Stats-based join planning over a pin is therefore
+poisoned: the static planner chose to BROADCAST the full posting list
+in q117 (driver OOM at sf5) and silently broadcast three
+one-row-per-doc verdict tables in q116. Engine rule: a consumer
+joining a CORPUS-PROPORTIONAL pin must pin the join strategy itself
+(``.hint("merge")``) — only provably driver-sized stages (top-k,
+bounds, governor-capped tables) may rely on broadcast, and then
+explicitly via ``F.broadcast``. Plan tests in tests/test_plans.py
+assert the hinted shapes.
+
 IMMUTABILITY ASSUMPTION: pins are keyed by (applicationId, stage,
 sf_dir) and NOT by a data fingerprint — the files under ``sf_dir`` are
 assumed immutable for the lifetime of the session (true for the

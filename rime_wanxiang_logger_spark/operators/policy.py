@@ -353,13 +353,24 @@ def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= FP_DF_CAP)
         .select("fp")
     )
-    # Inner join keeps only capped fingerprints; no forced broadcast —
-    # the fp dimension is corpus-sized (the q91 rule), AQE decides.
-    slim = fps.join(df_ok, "fp")
+    # Inner join keeps only capped fingerprints. The strategy is
+    # PINNED to sort-merge (r9): both sides are corpus-sized (the q91
+    # rule says never force a broadcast here), and the stats-based
+    # alternative is poisoned — the q52_fps checkpoint pin is a
+    # LogicalRDD whose originStats carry the source plan's ESTIMATE
+    # (8.1 MiB at sf5 for an actually-GB-scale posting list), so the
+    # static planner happily broadcast df_ok until it OOMed the
+    # driver at sf5 in q117's twin of this join. A corpus-proportional
+    # dimension must be shuffle-joined by construction, not by
+    # estimate (plan test pins it).
+    slim = fps.join(df_ok.hint("merge"), "fp")
     a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
     b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
+    # The posting-list self-join is big x big by construction — pinned
+    # to sort-merge for the same reason as slim (the estimate says KB;
+    # the actual side is the full capped posting list).
     return (
-        a.join(b, "fp")
+        a.join(b.hint("merge"), "fp")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -399,9 +410,16 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # q99's two-level source-count: (fp, source) partials, then per-fp
-    # totals — no countDistinct Expand over the posting volume.
+    # totals — no countDistinct Expand over the posting volume. Join
+    # strategy pinned to sort-merge (r9): fps is the checkpoint-pinned
+    # posting list whose LogicalRDD originStats UNDERSTATE its size by
+    # orders of magnitude (8.1 MiB claimed vs GB actual at sf5), and
+    # the static planner chose BuildLeft — broadcasting the ENTIRE
+    # posting list — which OOM-crashed the driver on the first raw
+    # sf5 run this query ever got. Both sides are corpus-proportional;
+    # shuffle-join by construction (q91 rule, plan test pins it).
     by_src = (
-        fps.join(src, "doc_id")
+        fps.hint("merge").join(src, "doc_id")
         .groupBy("fp", "source")
         .agg(F.count(F.lit(1)).alias("n_docs_src"))
     )
@@ -420,13 +438,16 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_content"),
     )
-    slim = fps.join(band, "fp")
+    # Same pinned sort-merge as q105's slim join (see by_src note): fp
+    # is a corpus-sized dimension and fps' checkpoint stats lie.
+    slim = fps.hint("merge").join(band, "fp")
     a = slim.select(
         F.col("doc_id").alias("doc_a"), "fp", "df", "is_content"
     )
     b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
     pairs = (
-        a.join(b, "fp")
+        # big x big posting-list self-join — pinned sort-merge (q105)
+        a.join(b.hint("merge"), "fp")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -798,11 +819,26 @@ def q116_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: q29_text_quality(spark, sf_dir),
     ).select("doc_id", F.col("keep").alias("b_q"))
+    # The three doc-keyed verdict joins are pinned to SHUFFLE_HASH
+    # (r9): keep98/q29 are checkpoint-pinned, contaminated is derived
+    # from a corpus scan — all one-row-per-doc tables the docstring
+    # describes as ordinary doc-keyed joins, but the pins' LogicalRDD
+    # originStats understate their size so the static planner silently
+    # BROADCAST all three at sf5 (the q117 driver-OOM bug class,
+    # caught by the r9 pin-consumer plan audit). Shuffle-hash, not
+    # sort-merge: the build side per partition is docs/width narrow
+    # verdict rows (KBs–MBs at any width), while three extra
+    # sort-merge sorts stacked onto this query's shingle-explode
+    # stages blew the 32-task execution-memory budget at sf20
+    # (UNABLE_TO_ACQUIRE_MEMORY) — hash build is the lighter and
+    # equally stats-independent co-partitioned shape. Only the
+    # genuinely bounded sides (5-row per-lang bounds, governor-capped
+    # eval grams) stay broadcast, explicitly.
     flags = (
-        base.join(keep98, "doc_id")
+        base.join(keep98.hint("shuffle_hash"), "doc_id")
         .join(F.broadcast(bounds), "lang")
-        .join(contaminated, "doc_id", "left")
-        .join(q29, "doc_id")
+        .join(contaminated.hint("shuffle_hash"), "doc_id", "left")
+        .join(q29.hint("shuffle_hash"), "doc_id")
         .select(
             "doc_id",
             "n_tok",

@@ -62,6 +62,11 @@ QUERIES = [
     "q55_tpch_q18",
     # r9: keyed-state streaming representative (see SECOND_POINT note)
     "q107_stateful_asof",
+    # r9b: the pin-consumer broadcast fix made raw q117 RUNNABLE above
+    # sf0.1 for the first time (it OOM-crashed the driver at sf5
+    # before — dishonest checkpoint stats broadcast the posting list);
+    # it stays in the sweep so that regression class can't return.
+    "q117_winnow_cap_recall",
 ]
 
 # The most expensive + the past super-linear watch list (q105's 6.6x
@@ -85,6 +90,9 @@ SECOND_POINT = [
     # above sf0.1 — q107 is the keyed-state representative (per-user
     # as-of carry; state rows = distinct users, recorded below).
     "q107_stateful_asof",
+    # r9b: see the QUERIES note — first-ever raw decade points for
+    # q117 after the broadcast fix.
+    "q117_winnow_cap_recall",
 ]
 
 # Queries whose returned frame is a cheap re-read of an already-drained
@@ -141,7 +149,13 @@ def clean_ab(name: str, prev_dir: str, cur_dir: str) -> None:
     spark.stop()
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
+    """Full sweep, or — with ``only`` (CLI: --only name [name...]) — a
+    targeted re-measure of a query subset whose rows are MERGED into
+    the existing scale_proof.json (same warm-in-one-session semantics;
+    the other queries' recorded points are untouched). Use after a
+    plan change to a swept query so the artifact tracks the shipped
+    plan without paying the full ~60 min sweep."""
     spark = get_spark("scale-proof")
     funcs = all_queries()
     import glob
@@ -153,8 +167,10 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    queries = [q for q in QUERIES if only is None or q in only]
+    second_point = [q for q in SECOND_POINT if only is None or q in only]
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         fn = funcs[name]
         row: dict = {}
         for key, d in (("sf01", SF01), ("sf1", SF1)):
@@ -182,7 +198,7 @@ def main() -> None:
         for p in sorted(_glob.glob(f"{d}/*.parquet")):
             spark.read.parquet(p).count()
         prev_dir = SF1 if prev == "sf1" else SF5
-        for name in SECOND_POINT:
+        for name in second_point:
             if prev not in out[name]:
                 continue
             fn = funcs[name]
@@ -232,10 +248,16 @@ def main() -> None:
             flush=True,
         )
 
-    path = os.path.join(
+    path = os.path.abspath(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "scale_proof.json"
-    )
-    with open(os.path.abspath(path), "w") as f:
+    ))
+    if only is not None and os.path.exists(path):
+        # targeted mode: merge the re-measured rows over the standing
+        # artifact (replacing each re-measured query's row wholesale)
+        merged = json.load(open(path))
+        merged.update(out)
+        out = merged
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
 
@@ -243,5 +265,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--clean-ab":
         clean_ab(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        main(only=sys.argv[2:])
     else:
         main()

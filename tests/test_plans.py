@@ -1508,3 +1508,36 @@ def test_vecs_dimension_guard_fails_loud_on_short_vectors(spark, tmp_path):
         _vecs(spark, out, checked=True).collect()
     got = _vecs(spark, out).collect()  # unguarded path: both rows pass
     assert sorted(len(r["v"]) for r in got) == [63, 64]
+
+
+def test_corpus_proportional_pin_joins_never_broadcast(spark, sf_dir):
+    """r9 pin-consumer audit: a checkpointed stage pin is a LogicalRDD
+    whose originStats carry the SOURCE PLAN'S ESTIMATE (measured
+    8.1 MiB claimed vs GB actual for q52_fps at sf5), so stats-based
+    planning broadcast the full posting list in q117 (driver OOM at
+    sf5) and three one-row-per-doc verdict tables in q116. The fix
+    pins every corpus-proportional join to sort-merge via hints —
+    assert the executed plans keep that shape: no BroadcastHashJoin
+    keyed on fp or doc_id in q105/q117/q116 at ANY sf (hints override
+    stats, so this is assertable on tiny test data). Explicitly
+    bounded broadcasts (5-row lang bounds, eval-gram semi-join,
+    1-row aggregate combines) remain allowed."""
+    import re
+
+    from rime_wanxiang_logger_spark.operators.policy import (
+        q105_winnow_overlap,
+        q116_curation_pipeline,
+        q117_winnow_cap_recall,
+    )
+
+    for fn in (q105_winnow_overlap, q117_winnow_cap_recall,
+               q116_curation_pipeline):
+        plan = explain_str(fn(spark, sf_dir))
+        blocks = re.split(r"\n\(\d+\) ", "\n" + plan)
+        bad = [
+            b.split("\n")[0]
+            for b in blocks
+            if b.startswith("BroadcastHashJoin")
+            and re.search(r"Left keys \[\d+\]: \[(fp|doc_id)#", b)
+        ]
+        assert not bad, (fn.__name__, bad)
