@@ -56,7 +56,13 @@ joining a CORPUS-PROPORTIONAL pin must pin the join strategy itself
 (``.hint("merge")``) — only provably driver-sized stages (top-k,
 bounds, governor-capped tables) may rely on broadcast, and then
 explicitly via ``F.broadcast``. Plan tests in tests/test_plans.py
-assert the hinted shapes.
+assert the hinted shapes. Scope of the hazard: it bites when the
+pin's scan reaches the join WITHOUT an intervening shuffle — the
+static strategy choice is then final. A side that passes through an
+aggregate/exchange first is re-planned by AQE with the REAL
+materialized size (the r9 audit confirmed q24/q80/q103's post-shuffle
+sides are safely adaptive), so "AQE decides" remains the right
+default there.
 
 IMMUTABILITY ASSUMPTION: pins are keyed by (applicationId, stage,
 sf_dir) and NOT by a data fingerprint — the files under ``sf_dir`` are
