@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Full-registry execution smoke at a mid-scale dir (default /tmp/sf5,
+50x the bench SF): run EVERY registered query raw (no stage sharing)
+to completion and record wall + row outcome per query.
+
+Why this exists (r9): correctness is proven per-query at sf0.01
+(driver) and sf1 (scale_parity.json), and the 22-query sweep subset is
+timed through sf20 — but nothing guaranteed the OTHER ~96 queries even
+EXECUTE above sf1. q117 proved the gap real: its first-ever raw sf5
+run OOM-crashed the driver (checkpoint originStats understated the
+posting list by orders of magnitude, so the static planner broadcast
+it). This smoke closes that class: every registered query must
+complete raw at sf5, every round the registry or data recipe changes.
+
+Timings here are NOT scaling claims (single warm session, arbitrary
+order, no idle-host gating) — the gated ratios live in
+scale_proof.json. The pass/fail column is the artifact.
+
+Run:  python scripts/sf5_smoke.py [sf_dir]      (default /tmp/sf5)
+Writes sf5_smoke.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rime_wanxiang_logger_spark.operators import all_queries  # noqa: E402
+from rime_wanxiang_logger_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf5"
+
+
+def main() -> None:
+    spark = get_spark("sf5-smoke")
+    funcs = all_queries()
+    import glob
+
+    for p in sorted(glob.glob(f"{SF_DIR}/*.parquet")):
+        spark.read.parquet(p).count()  # warm footer caches
+
+    out: dict[str, dict] = {}
+    failures = 0
+    for i, (name, fn) in enumerate(funcs.items(), 1):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 2)
+            out[name] = {"ok": True, "wall": wall}
+            print(f"[{i:3d}] {name}: OK {wall:.1f}s", flush=True)
+        except Exception as ex:  # record and continue — the artifact
+            wall = round(time.perf_counter() - t0, 2)
+            failures += 1
+            out[name] = {
+                "ok": False,
+                "wall": wall,
+                "err": f"{type(ex).__name__}: {str(ex)[:300]}",
+            }
+            print(f"[{i:3d}] {name}: FAILED {wall:.1f}s {type(ex).__name__}",
+                  flush=True)
+            traceback.print_exc(limit=3, file=sys.stderr)
+
+    path = os.path.abspath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "sf5_smoke.json"
+    ))
+    with open(path, "w") as f:
+        json.dump(
+            {"sf_dir": SF_DIR, "n": len(out), "failures": failures,
+             "queries": out},
+            f, indent=1,
+        )
+        f.write("\n")
+    print(f"{len(out)} queries, {failures} failures -> {path}", flush=True)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,3 +135,23 @@ def test_scale_proof_artifact_is_sublinear():
             if label in v:
                 assert isinstance(v[label], (int, float)) and v[label] < ceil, (
                     label, v)
+
+
+def test_sf5_smoke_artifact_is_complete_and_clean():
+    """r9: every registered query must EXECUTE raw at sf5 (50x the
+    bench SF). Correctness was proven per-query at sf0.01/sf1 and the
+    sweep subset is timed through sf20, but nothing guaranteed the
+    other ~96 queries even run above sf1 — q117's first raw sf5 run
+    OOM-crashed the driver (the checkpoint-stats broadcast bug). The
+    committed sf5_smoke.json is the standing execution proof; walls
+    there are not scaling claims (see the script docstring)."""
+    data = json.loads((REPO / "sf5_smoke.json").read_text())
+    assert data["failures"] == 0, {
+        k: v["err"] for k, v in data["queries"].items() if not v["ok"]
+    }
+    import rime_wanxiang_logger_spark.operators as ops
+
+    assert set(data["queries"]) == set(ops.all_queries()), (
+        set(ops.all_queries()) ^ set(data["queries"])
+    )
+    assert all(v["ok"] for v in data["queries"].values())
