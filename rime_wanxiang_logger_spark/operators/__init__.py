@@ -229,38 +229,12 @@ def _derive_verified_rounds(
 # executed plan changes this round (values locally re-verified vs the
 # DuckDB oracle before the round-end hash freeze).
 #
-# r9 re-queues — every value locally verified exact vs the DuckDB
-# oracle (sf0.01 via verify_oracle.py --stale + sf1 targeted sweep)
-# but the executed plans changed:
-#   q26/q44/q66 — _vecs(checked=True) dimension guard (a CASE +
-#     raise_error ahead of the HOF cast) and the _dot/_norm chains now
-#     parsed from one SQL string (identical tree; the guard is the
-#     plan change). q111 consumes both reworked top-k providers.
-#   q79/q53/q72 — pin_frontier callers now unpersist the FINAL
-#     frontier (ADVICE r8): the returned plan reads localCheckpoint
-#     blocks directly instead of an InMemoryRelation.
-#   q116 — consumes q98/q29/q104 pins, which materialize lazily now
-#     (provider pins eager->lazy; values pin-vs-rebuild-invariant by
-#     the stage-cache contract, requeued out of caution).
-#   q105/q117/q116 (r9b) — corpus-proportional joins over checkpoint
-#     pins are now PINNED to sort-merge via hints: the pins' LogicalRDD
-#     originStats understate real size by orders of magnitude, so the
-#     static planner broadcast the full posting list (q117 driver-OOM
-#     at sf5) and three per-doc verdict tables (q116) — the r9
-#     pin-consumer audit's catch. Values verified exact at sf0.01 and
-#     sf1 post-hint.
-_REQUEUE: dict[str, int] = {
-    "q26_ann_topk": 8,
-    "q44_ann_ivf": 8,
-    "q66_embedding_quantize": 8,
-    "q111_ann_recall": 8,
-    "q79_pagerank": 8,
-    "q53_dedup_clusters": 8,
-    "q72_semantic_dedup": 8,
-    "q116_curation_pipeline": 8,
-    "q105_winnow_overlap": 8,
-    "q117_winnow_cap_recall": 8,
-}
+# r10 open: the ten r9 re-queues (ANN construction-fix + lazy pins +
+# pin-join hints — q26/q44/q66/q111/q79/q53/q72/q116/q105/q117) all
+# expired: CORRECTNESS_r09.json carries a fully-green row for each, so
+# the derivation already outranked their `: 8` entries. Pruned per the
+# round-open checklist.
+_REQUEUE: dict[str, int] = {}
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(
     _correctness_rows(), _REQUEUE

@@ -1,7 +1,6 @@
 #!/usr/bin/env python
 """Drive __spark_entry__.py end-to-end against the DuckDB oracle — the
-repo's verify recipe as a committed script (the .claude/skills/verify
-SKILL used to recreate this under /tmp each session).
+repo's verify recipe as a committed script.
 
 Always runs from a FRESH process with a vanilla session (no engine
 confs pre-applied; the engine must self-configure via
