@@ -234,7 +234,18 @@ def _derive_verified_rounds(
 # expired: CORRECTNESS_r09.json carries a fully-green row for each, so
 # the derivation already outranked their `: 8` entries. Pruned per the
 # round-open checklist.
-_REQUEUE: dict[str, int] = {}
+#
+# r10 re-queue — value locally verified exact vs the DuckDB oracle
+# (sf0.01 via verify_oracle.py --stale; pair-set parity test at
+# sf0.001) but the executed plan changed:
+#   q106 — the stream-stream interval join's equality key now includes
+#     floor(ts/horizon), killing the per-user state-scan quadratic an
+#     availableNow backfill exposed (25x pair-scan work for 5x data;
+#     judge r9 #1). Gated decade ladder now 0.6/1.6/2.8x in
+#     scale_proof.json.
+_REQUEUE: dict[str, int] = {
+    "q106_stream_attribution": 9,
+}
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(
     _correctness_rows(), _REQUEUE

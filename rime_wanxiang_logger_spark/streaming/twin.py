@@ -565,6 +565,7 @@ def dedup_admit_stream(
 
 
 ATTRIBUTION_HORIZON = "1 hour"
+ATTRIBUTION_HORIZON_S = 3600
 
 
 def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -576,8 +577,26 @@ def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
     ``purchase watermark - horizon`` passes it. Unbounded-state
     stream-stream joins (no range condition) never evict — this shape
     is the one that survives production.
+
+    The hour bucket is part of the EQUALITY key, not just the range
+    residual. Spark's symmetric hash join retrieves every buffered row
+    for a key before applying the range filter, so with ``user_id``
+    alone the per-lookup scan grows with each user's full buffered
+    history — quadratic in corpus size whenever state spans many
+    horizons (measured: an availableNow backfill drain, where the
+    watermark only advances at the end, did 25× the pair-scan work for
+    5× the data). Keying on ``(user_id, floor(ts / horizon))`` bounds
+    every state list by one user-hour of events — constant as the
+    corpus grows along the time axis — at the cost of duplicating the
+    (smaller) purchase side into the two buckets its lookback window
+    can touch: ``v >= p - horizon AND v <= p`` implies
+    ``floor(v) ∈ {floor(p), floor(p) - 1}``, and each matching view
+    lands in exactly one copy's bucket, so the pair set is unchanged.
     """
     base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    bucket = lambda c: F.floor(  # noqa: E731
+        F.unix_seconds(F.col(c)) / F.lit(ATTRIBUTION_HORIZON_S)
+    )
     views = (
         base.where(F.col("event_type") == "view")
         .select(
@@ -586,6 +605,7 @@ def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
             F.col("value").alias("view_value"),
         )
         .withWatermark("view_ts", watermark)
+        .withColumn("v_bucket", bucket("view_ts"))
     )
     purchases = (
         base.where(F.col("event_type") == "purchase")
@@ -596,12 +616,21 @@ def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
             F.col("value").alias("purchase_value"),
         )
         .withWatermark("purchase_ts", watermark)
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    bucket("purchase_ts"), bucket("purchase_ts") - F.lit(1)
+                )
+            ),
+        )
     )
     return purchases.join(
         views,
         F.expr(
             f"""
             p_user_id = v_user_id
+            AND p_bucket = v_bucket
             AND view_ts <= purchase_ts
             AND view_ts >= purchase_ts - INTERVAL {ATTRIBUTION_HORIZON}
             """

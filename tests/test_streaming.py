@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 
@@ -390,6 +391,27 @@ def test_dedup_admit_stream_unbounded_state(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_attribution_bucket_in_equality_key(spark):
+    """The horizon bucket must stay an EQUALITY conjunct of the
+    stream-stream join, not a range residual: the symmetric hash join
+    scans every buffered row per equality key before filtering, so
+    keying on user_id alone makes each lookup scan the user's whole
+    buffered history — measured 25× the pair-scan work for 5× data on
+    an availableNow backfill (twin.attribution_stream docstring). A
+    refactor that drops the bucket keeps every test green (the pair
+    set is unchanged) and silently reintroduces the quadratic."""
+    df = st.attribution_stream(st.read_events_stream(spark, SMALL_SF))
+    analyzed = str(df._jdf.queryExecution().analyzed())
+    join_lines = [ln for ln in analyzed.splitlines() if "Join Inner" in ln]
+    assert join_lines, analyzed
+    cond = join_lines[0]
+    assert re.search(r"p_bucket#\d+L = v_bucket#\d+L", cond), cond
+    # both event-time columns still carry their watermark tags (the
+    # -T<delay>ms suffix) inside the range conjuncts: bucketing must
+    # not cost state eviction.
+    assert re.search(r"view_ts#\d+-T\d+ms <= purchase_ts#\d+-T\d+ms", cond)
 
 
 def test_attribution_stream_parity(spark):
