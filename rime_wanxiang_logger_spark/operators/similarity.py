@@ -93,7 +93,13 @@ def _dot(a: str, b: str) -> F.Column:
     the identical left-associated tree (``+`` is left-associative,
     ``a[i]`` resolves to the same GetArrayItem) JVM-side in
     microseconds. ``0.0D`` — SQL ``0.0`` would parse as DECIMAL and
-    change the summation type."""
+    change the summation type.
+
+    ``a``/``b`` are interpolated into SQL verbatim, so they must be
+    PLAIN column identifiers (every caller passes names like ``v``/
+    ``vq``/``cv``). A name needing backticks (dots, spaces) would
+    parse wrong or resolve a different column — rename the column
+    before calling rather than teaching this hot path to quote."""
     terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(EMBED_DIM))
     return F.expr(f"0.0D + {terms}")
 

