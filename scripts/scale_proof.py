@@ -67,6 +67,15 @@ QUERIES = [
     # before — dishonest checkpoint stats broadcast the posting list);
     # it stays in the sweep so that regression class can't return.
     "q117_winnow_cap_recall",
+    # r10: the heaviest sf5-smoke queries that carried NO decade
+    # evidence at all (q93 33 s, q97 32 s, q52 29 s at sf5 — top-12
+    # walls, yet absent from this sweep). Every sweep extension so far
+    # caught a real latent bug; these three are verify-after-block /
+    # winnowing shapes whose claimed cost is linear in the candidate
+    # set — now measured instead of asserted.
+    "q93_edit_verify",
+    "q97_containment",
+    "q52_winnowing",
 ]
 
 # The most expensive + the past super-linear watch list (q105's 6.6x
@@ -101,6 +110,10 @@ SECOND_POINT = [
     # floor(ts/horizon) into the equality key (twin.attribution_stream
     # docstring); gated here so the quadratic can't return.
     "q106_stream_attribution",
+    # r10: heaviest previously-unswept sf5 smoke walls (QUERIES note).
+    "q93_edit_verify",
+    "q97_containment",
+    "q52_winnowing",
 ]
 
 # Queries whose returned frame is a cheap re-read of an already-drained
@@ -146,7 +159,39 @@ def _q25_density(spark, d: str) -> dict[str, int]:
     return {"work_pairs": int(work or 0), "out_pairs": int(out_pairs)}
 
 
-DENSITY_PROBES = {"q25_embedding_neardup": _q25_density}
+# r10: the q93/q97 decade extension measured sf20 wall ratios of
+# 11.5x/5.9x for 4x data — adjudicated as OUTPUT, not plan: both are
+# verify-after-block consumers of the UNCAPPED MinHash band join
+# (dedup._candidate_pairs, oracle-exact so it MUST emit every
+# colliding pair), and this synthetic corpus's 31-word vocab makes
+# chance band collisions quadratic (bucket occupancy grows linearly
+# with the corpus: max 11 -> 58 -> 297 -> 1206 across the four scales;
+# distinct pairs 16.5x for the last 4x of data). Per-pair cost DROPS
+# (42.5 -> 29.6 us at sf20), so wall tracks output — Θ(work+output),
+# the engine-wide claim. The production posture for adversarial pair
+# density stays the CAPPED pipelines (q25's need_bits split, q105/
+# q117 winnowing with measured cap recall). Recording the pair count
+# per point lets the CI gate bound wall by measured OUTPUT growth
+# instead of data growth (tests/test_scale_artifacts.py).
+
+
+def _cand_pair_density(spark, d: str) -> dict[str, int]:
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        _candidate_pairs,
+        _signatures,
+    )
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    docs = load_table(spark, d, "documents")
+    sig = _signatures(docs).localCheckpoint()
+    return {"out_pairs": int(_candidate_pairs(sig).count())}
+
+
+DENSITY_PROBES = {
+    "q25_embedding_neardup": _q25_density,
+    "q93_edit_verify": _cand_pair_density,
+    "q97_containment": _cand_pair_density,
+}
 
 # Near-gate sweep points are session noise until proven otherwise
 # (judge r8 #6: q105 measured 5.9x in-sweep vs 3.5x standalone, q25
