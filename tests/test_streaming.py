@@ -631,6 +631,41 @@ def test_hourly_rollup_on_rocksdb_state_store(spark, sf_dir):
     assert rocks == default and len(rocks) > 0
 
 
+def test_attribution_join_on_rocksdb_state_store(spark):
+    """Stream-stream join state under RocksDB: the interval join keeps
+    TWO stores per side (KeyToNumValues + KeyWithIndexToValue) — a
+    different layout from the windowed-agg store the rollup swap test
+    covers, and the layout the r10 bucketed equality key changed. The
+    drained pair set must be identical under both providers."""
+    def drain(name):
+        q = st.run_stream_to_memory(
+            st.attribution_stream(st.read_events_stream(spark, SMALL_SF)),
+            name,
+            "append",
+        )
+        try:
+            return sorted(
+                (r["purchase_id"], r["view_ts"])
+                for r in spark.table(name).collect()
+            )
+        finally:
+            q.stop()
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = drain("attrib_hdfs_sink")
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = drain("attrib_rocks_sink")
+    finally:
+        spark.conf.set(key, old)
+    assert rocks == default and len(rocks) > 0
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """Restart-with-backlog: after a drain commits its checkpoint, a
     restart that finds NEW source files must process exactly those —
