@@ -243,8 +243,19 @@ def _derive_verified_rounds(
 #     availableNow backfill exposed (25x pair-scan work for 5x data;
 #     judge r9 #1). Gated decade ladder now 0.6/1.6/2.8x in
 #     scale_proof.json.
+#   q43/q92/q100/q107/q110 — every drain now runs on the RocksDB
+#     state-store provider (extensions._stream_state_width): the
+#     sf80 probe found heap-resident HDFS-backed join state exceeding
+#     the JVM and wedging Spark's abort path. Values are
+#     provider-invariant (parity tests + sf0.01 oracle re-pass), but
+#     the executed runtime changed — requeued out of caution.
 _REQUEUE: dict[str, int] = {
     "q106_stream_attribution": 9,
+    "q43_stream_hourly": 9,
+    "q92_dedup_admit": 9,
+    "q100_stream_sessions": 9,
+    "q107_stateful_asof": 9,
+    "q110_stream_page_rank": 9,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

@@ -66,10 +66,33 @@ TUMBLE_HOURS = 6
 STREAM_STATE_PARTITIONS = 8
 
 
+#: RocksDB state store for every drain (r10). The default HDFS-backed
+#: provider keeps ALL state as JVM-heap objects; an availableNow
+#: backfill of a large history through a stream-stream join buffers
+#: the whole horizon-unexpired corpus in state, and at sf80 (~48M
+#: join-state rows ≈ 18 GB) that exceeded the 8 GB local heap — tasks
+#: died and then WEDGED forever in Spark 4.1's
+#: ChecksumCheckpointFileManager.awaitResult inside
+#: SymmetricHashJoinStateManager's task-completion ABORT path (thread
+#: dump: every executor parked on a CompletionLatch that no pool
+#: thread will ever complete; the job hangs rather than fails).
+#: RocksDB keeps state off-heap and disk-backed — bounded memory at
+#: any SF — which is also the documented production posture
+#: (streaming/twin.py module doc). Parity across providers is pinned
+#: by tests (hourly rollup + the attribution join drain both
+#: hash-match under either provider).
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
 class _stream_state_width:
     """Scope the session's shuffle width down to the streaming state
-    width for the duration of a drain, restoring it afterwards (the
-    rest of the bench keeps the batch-sized 32)."""
+    width — and the state store to RocksDB — for the duration of a
+    drain, restoring both afterwards (the rest of the bench keeps the
+    batch-sized 32 and the default provider)."""
 
     def __init__(self, spark: SparkSession):
         self._spark = spark
@@ -79,9 +102,12 @@ class _stream_state_width:
         self._spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
         )
+        self._old_provider = self._spark.conf.get(_PROVIDER_CONF)
+        self._spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
 
     def __exit__(self, *exc):
         self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        self._spark.conf.set(_PROVIDER_CONF, self._old_provider)
         return False
 
 

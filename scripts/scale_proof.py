@@ -37,6 +37,12 @@ SF5 = os.environ.get("SPARK_GRAFT_SF5_DIR", "/tmp/sf5")
 # iterated-checkpoint stats squaring), so the decades keep extending
 # while wall-clock allows.
 SF20 = os.environ.get("SPARK_GRAFT_SF20_DIR", "/tmp/sf20")
+# Fourth scale point (r10): sf20 -> sf80 (4x more, SFX=800 — 4M fresh
+# docs / 1.6M fresh embeddings, ~18 GB) for the FOURTH_POINT subset
+# only — the scale-critical streaming/ANN representatives whose sf20
+# walls stay affordable at 4x. Skipped when the dir is absent, so the
+# standard sweep's cost is unchanged.
+SF80 = os.environ.get("SPARK_GRAFT_SF80_DIR", "/tmp/sf80")
 
 # The bench's most expensive queries + the super-linear watch list.
 QUERIES = [
@@ -114,6 +120,21 @@ SECOND_POINT = [
     "q93_edit_verify",
     "q97_containment",
     "q52_winnowing",
+]
+
+# Fourth-decade subset (r10): the streaming plane's three certified
+# scale representatives (q106's bucketed interval join, q107's keyed
+# state, q92's stream-static admit), the ANN scale path (q44), and
+# the banded near-dup governor (q25, with its work/output density
+# probe riding along). Chosen for scale-criticality AND affordable
+# sf20 walls (14-65 s); the heavyweight pipelines (q116/q105/q117,
+# 130+ s at sf20) stay three-decade.
+FOURTH_POINT = [
+    "q106_stream_attribution",
+    "q107_stateful_asof",
+    "q92_dedup_admit",
+    "q44_ann_ivf",
+    "q25_embedding_neardup",
 ]
 
 # Queries whose returned frame is a cheap re-read of an already-drained
@@ -286,10 +307,12 @@ def main(only: list[str] | None = None) -> None:
     # Extra decade points: each runs the SECOND_POINT subset at a
     # larger dir and records the ratio vs the PREVIOUS point, so every
     # recorded ratio is a within-decade measurement (5x then 4x data).
+    fourth_point = [q for q in FOURTH_POINT if only is None or q in only]
     flagged: list[tuple[str, str, str, str]] = []
-    for d, label, prev, factor in (
-        (SF5, "sf5", "sf1", "5x"),
-        (SF20, "sf20", "sf5", "4x"),
+    for d, label, prev, factor, subset in (
+        (SF5, "sf5", "sf1", "5x", second_point),
+        (SF20, "sf20", "sf5", "4x", second_point),
+        (SF80, "sf80", "sf20", "4x", fourth_point),
     ):
         if not os.path.isdir(d):
             continue
@@ -297,8 +320,8 @@ def main(only: list[str] | None = None) -> None:
 
         for p in sorted(_glob.glob(f"{d}/*.parquet")):
             spark.read.parquet(p).count()
-        prev_dir = SF1 if prev == "sf1" else SF5
-        for name in second_point:
+        prev_dir = {"sf1": SF1, "sf5": SF5, "sf20": SF20}[prev]
+        for name in subset:
             if prev not in out[name]:
                 continue
             fn = funcs[name]

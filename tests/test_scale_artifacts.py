@@ -100,7 +100,7 @@ def test_scale_proof_artifact_is_sublinear():
         dens = v.get("out_pairs")
         if not dens:
             return backstop
-        prev = {"sf5": "sf1", "sf20": "sf5"}[label]
+        prev = {"sf5": "sf1", "sf20": "sf5", "sf80": "sf20"}[label]
         if prev not in dens or label not in dens:
             return backstop
         return 1.5 * max(data_factor, dens[label] / dens[prev])
@@ -130,6 +130,15 @@ def test_scale_proof_artifact_is_sublinear():
         if r >= _ceiling(data[k], "sf20", 4.0, 8.0)
     }
     assert not worst20, worst20
+    # Fourth scale point (r10): sf20→sf80 is 4× data again, for the
+    # FOURTH_POINT streaming/ANN subset only — same output-aware
+    # ceilings as the third decade.
+    fourth = {k: v["ratio_sf80"] for k, v in data.items() if "ratio_sf80" in v}
+    worst80 = {
+        k: r for k, r in fourth.items()
+        if r >= _ceiling(data[k], "sf80", 4.0, 8.0)
+    }
+    assert not worst80, worst80
     cum = {
         k: round(v["ratio"] * v["ratio_sf5"] * v["ratio_sf20"], 1)
         for k, v in data.items()
@@ -146,12 +155,16 @@ def test_scale_proof_artifact_is_sublinear():
 
     sys.path.insert(0, str(REPO / "scripts"))
     try:
-        from scale_proof import SECOND_POINT
+        from scale_proof import FOURTH_POINT, SECOND_POINT
     finally:
         sys.path.pop(0)
-    for label, present in (("ratio_sf5", second), ("ratio_sf20", third)):
+    for label, declared, present in (
+        ("ratio_sf5", SECOND_POINT, second),
+        ("ratio_sf20", SECOND_POINT, third),
+        ("ratio_sf80", FOURTH_POINT, fourth),
+    ):
         if present:
-            missing = set(SECOND_POINT) - set(present)
+            missing = set(declared) - set(present)
             assert not missing, (label, missing)
     # Auto clean A/Bs (fresh-JVM re-measures of near-gate sweep
     # points) must themselves sit inside the (output-aware) per-decade
@@ -160,6 +173,7 @@ def test_scale_proof_artifact_is_sublinear():
         for key, label, factor, backstop in (
             ("clean_ratio_sf5", "sf5", 5.0, 7.5),
             ("clean_ratio_sf20", "sf20", 4.0, 8.0),
+            ("clean_ratio_sf80", "sf80", 4.0, 8.0),
         ):
             if key in v:
                 ceil = _ceiling(v, label, factor, backstop)
@@ -169,7 +183,7 @@ def test_scale_proof_artifact_is_sublinear():
         # under clean_<label> with NO clean_ratio_<label>, which the
         # ratio checks above silently skip — every flagged point that
         # attempted a clean A/B must carry a numeric clean ratio.
-        for label in ("clean_sf5", "clean_sf20"):
+        for label in ("clean_sf5", "clean_sf20", "clean_sf80"):
             assert v.get(label) != "FAILED", (label, v)
 
 
