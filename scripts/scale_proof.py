@@ -294,10 +294,17 @@ def main(only: list[str] | None = None) -> None:
     for name in queries:
         fn = funcs[name]
         row: dict = {}
-        for key, d in (("sf01", SF01), ("sf1", SF1)):
-            row[key] = _timed(spark, fn, d, name, row, label=key)
-        row["ratio"] = round(row["sf1"] / row["sf01"], 1)
         out[name] = row
+        try:
+            for key, d in (("sf01", SF01), ("sf1", SF1)):
+                row[key] = _timed(spark, fn, d, name, row, label=key)
+        except Exception as ex:  # record-and-continue (r10: a crashed
+            # query used to discard the WHOLE sweep — the artifact is
+            # only written at the end; the gate fails on FAILED rows)
+            row["failed"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(f"{name:28s} FAILED {row['failed']}", flush=True)
+            continue
+        row["ratio"] = round(row["sf1"] / row["sf01"], 1)
         print(
             f"{name:28s} sf0.1 {row['sf01']:7.2f}s   sf1 {row['sf1']:8.2f}s"
             f"   ratio {row['ratio']:6.1f}x",
@@ -325,7 +332,15 @@ def main(only: list[str] | None = None) -> None:
             if prev not in out[name]:
                 continue
             fn = funcs[name]
-            wall = _timed(spark, fn, d, name, out[name], label=label)
+            try:
+                wall = _timed(spark, fn, d, name, out[name], label=label)
+            except Exception as ex:
+                out[name][f"failed_{label}"] = (
+                    f"{type(ex).__name__}: {str(ex)[:200]}"
+                )
+                print(f"{name:28s} FAILED at {label}: "
+                      f"{out[name][f'failed_{label}']}", flush=True)
+                continue
             out[name][label] = wall
             ratio = round(wall / out[name][prev], 1)
             out[name][f"ratio_{label}"] = ratio

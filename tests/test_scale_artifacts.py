@@ -76,6 +76,15 @@ def test_scale_proof_artifact_is_sublinear():
     well inside quadratic territory for 10× data."""
     data = json.loads((REPO / "scale_proof.json").read_text())
     assert len(data) >= 20
+    # r10: the sweep records per-query failures instead of crashing
+    # (a crash used to discard the whole run) — but a recorded failure
+    # must never pass CI silently.
+    failed = {
+        k: [fk for fk in v if fk.startswith("failed")]
+        for k, v in data.items()
+        if any(fk.startswith("failed") for fk in v)
+    }
+    assert not failed, failed
     ratios = sorted(v["ratio"] for v in data.values())
     assert all(r > 0 for r in ratios), ratios
     median = ratios[len(ratios) // 2]
