@@ -9,6 +9,14 @@ list — r4 VERDICT "next round" #5).
 
 Run:  python scripts/make_sf1.py && python scripts/scale_proof.py
 Writes scale_proof.json next to this script.
+
+When /tmp/sf80 exists (the FOURTH_POINT decade), run with
+SPARK_DRIVER_MEMORY=16g: the 8 GB default heap OOM-killed a
+dispatcher-event-loop thread during q107's sf80 drain (4M-row
+memory-sink collect + accumulated sink tables), and a dead dispatcher
+WEDGES the local scheduler — the job waits forever instead of
+failing (r10; same non-failing hang class as the state-store abort
+deadlock, see extensions._stream_state_width).
 """
 
 from __future__ import annotations
@@ -208,10 +216,44 @@ def _cand_pair_density(spark, d: str) -> dict[str, int]:
     return {"out_pairs": int(_candidate_pairs(sig).count())}
 
 
+def _q92_density(spark, d: str) -> dict[str, int]:
+    """q92's stream-static band join candidate volume: distinct
+    (new-doc, corpus-partner) collision pairs — the drain's state +
+    output driver. Same quadratic-on-this-vocab mechanism as the
+    q93/q97 batch family (measured sf20→sf80: 2.44M → 39.5M distinct
+    pairs = 16.5x for 4x data, while the clean wall ratio is 13.2x —
+    sublinear in the pairs the data demands)."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        _bands,
+        _signatures,
+    )
+    from rime_wanxiang_logger_spark.sources.readers import load_table
+
+    docs = load_table(spark, d, "documents")
+    corpus_bands = _bands(_signatures(docs).localCheckpoint())
+    new_bands = _bands(
+        _signatures(docs.where((F.col("doc_id") % INCR_MOD) == INCR_REM))
+    )
+    n = (
+        new_bands.alias("n")
+        .join(corpus_bands.alias("c"), ["band", "bsig"])
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select("n.doc_id", F.col("c.doc_id").alias("partner"))
+        .distinct()
+        .count()
+    )
+    return {"out_pairs": int(n)}
+
+
 DENSITY_PROBES = {
     "q25_embedding_neardup": _q25_density,
     "q93_edit_verify": _cand_pair_density,
     "q97_containment": _cand_pair_density,
+    "q92_dedup_admit": _q92_density,
 }
 
 # Near-gate sweep points are session noise until proven otherwise

@@ -112,7 +112,11 @@ def test_scale_proof_artifact_is_sublinear():
         prev = {"sf5": "sf1", "sf20": "sf5", "sf80": "sf20"}[label]
         if prev not in dens or label not in dens:
             return backstop
-        return 1.5 * max(data_factor, dens[label] / dens[prev])
+        # same noise allowance as the plain backstops: 1.5x-linear at
+        # the first extra decade, 2x-linear at the 4x-data decades
+        # (a single decade on this shared host swings ±50%)
+        mult = 1.5 if label == "sf5" else 2.0
+        return mult * max(data_factor, dens[label] / dens[prev])
 
     # Second scale point (r7): sf1→sf5 is 5× data, so linear is 5×
     # and the generous blowup ceiling is 1.5× linear (7.5×).
@@ -215,6 +219,8 @@ def test_q25_scored_work_is_linear():
         assert work["sf5"] / work["sf1"] < 7.5, work
     if "sf20" in work:
         assert work["sf20"] / work["sf5"] < 6.0, work
+    if "sf80" in work:
+        assert work["sf80"] / work["sf20"] < 6.0, work
     # output must be recorded alongside, so a wall blowup is always
     # attributable to one of (work, output) from the artifact alone
     assert set(row["out_pairs"]) == set(work), row["out_pairs"]
