@@ -250,12 +250,11 @@ def _derive_verified_rounds(
 #     provider-invariant (parity tests + sf0.01 oracle re-pass), but
 #     the executed runtime changed — requeued out of caution.
 _REQUEUE: dict[str, int] = {
-    "q106_stream_attribution": 9,
-    "q43_stream_hourly": 9,
-    "q92_dedup_admit": 9,
-    "q100_stream_sessions": 9,
-    "q107_stateful_asof": 9,
-    "q110_stream_page_rank": 9,
+    # r11: keys-only posting list changed the q25 plan (and q72's,
+    # which consumes the shared q25_pairs stage) — invalidate their
+    # green rows through r10 so the driver re-certifies the new shape.
+    "q25_embedding_neardup": 10,
+    "q72_semantic_dedup": 10,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

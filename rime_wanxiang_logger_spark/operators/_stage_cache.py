@@ -115,9 +115,8 @@ STAGE_CONSUMERS = (
 # size "corpus": rows grow with the corpus (one per doc / vector /
 #   candidate pair) — consumers joining the pin WITHOUT an intervening
 #   shuffle must pin the strategy (hint("merge") / hint("shuffle_hash"))
-#   because the checkpoint's originStats lie. ``join_keys`` are the
-#   stage's identifying columns as they appear in consumer join
-#   conditions (post-alias names included).
+#   because the checkpoint's originStats lie. Corpus stages must
+#   declare ``scan_sig`` (below) so the audit can find their scans.
 # ``scan_sig``: column names that identify the pinned stage's
 # checkpoint scan in a physical plan (the LogicalRDD's output — a scan
 # whose output covers the signature is treated as that stage's pin by
@@ -150,9 +149,10 @@ def _check_registered(name: str) -> None:
     if name not in STAGES:
         raise KeyError(
             f"stage {name!r} is not in _stage_cache.STAGES — declare its "
-            "size class (driver|corpus) and, for corpus, its join_keys, "
-            "so the mechanical pin-join audit covers it (STATS HAZARD in "
-            "the module docstring)"
+            "size class (driver|corpus) and, for corpus, its scan_sig "
+            "(the checkpoint-scan column signature), so the mechanical "
+            "pin-join audit covers it (STATS HAZARD in the module "
+            "docstring)"
         )
 
 

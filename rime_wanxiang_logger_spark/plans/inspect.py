@@ -130,8 +130,11 @@ def broadcast_pin_scans(
 
     ``signatures``: stage name -> column names identifying its scan
     (a Scan ExistingRDD whose Output covers the signature counts as
-    that stage). Parses the formatted-explain tree, so it audits the
-    STATIC plan — the one whose broadcast choices are final."""
+    that stage). Parses EVERY tree section of the formatted explain —
+    the main physical tree AND each '===== Subqueries =====' entry
+    (ADVICE r10: the former single-section parse would miss a pin
+    broadcast inside a subquery plan) — so it audits the STATIC plan,
+    the one whose broadcast choices are final."""
     plan = explain_str(df)
     scan_cols: dict[str, set[str]] = {}
     for m in re.finditer(
@@ -143,34 +146,42 @@ def broadcast_pin_scans(
             for c in m.group(2).split(",")
             if c.strip()
         }
-    tree: list[tuple[int, str, str]] = []
+    # Tree sections: runs of consecutive 'Op (N)' lines. The main tree
+    # is one; each subquery's tree is another (they restart at depth 0,
+    # so sections must not share a depth walk).
+    sections: list[list[tuple[int, str, str]]] = []
+    cur: list[tuple[int, str, str]] = []
     for line in plan.splitlines():
         m = re.match(r"^([ :+|-]*)([A-Za-z*][^()\n]*?) \((\d+)\)\s*$", line)
         if not m:
-            if tree:
-                break  # end of the tree section
+            if cur:
+                sections.append(cur)
+                cur = []
             continue
         prefix, name, nid = m.groups()
-        tree.append((len(prefix) // 3, name.lstrip("* ").strip(), nid))
+        cur.append((len(prefix) // 3, name.lstrip("* ").strip(), nid))
+    if cur:
+        sections.append(cur)
     flagged: list[str] = []
-    for i, (depth, name, _nid) in enumerate(tree):
-        if name != "BroadcastExchange":
-            continue
-        exch_depths: list[int] = []
-        for d2, name2, nid2 in tree[i + 1 :]:
-            if d2 <= depth:
-                break  # left the broadcast subtree
-            while exch_depths and d2 <= exch_depths[-1]:
-                exch_depths.pop()
-            if name2 == "Exchange":
-                exch_depths.append(d2)
-            elif name2 == "Scan ExistingRDD" and not exch_depths:
-                cols = scan_cols.get(nid2, set())
-                flagged.extend(
-                    stage
-                    for stage, sig in signatures.items()
-                    if set(sig) <= cols
-                )
+    for tree in sections:
+        for i, (depth, name, _nid) in enumerate(tree):
+            if name != "BroadcastExchange":
+                continue
+            exch_depths: list[int] = []
+            for d2, name2, nid2 in tree[i + 1 :]:
+                if d2 <= depth:
+                    break  # left the broadcast subtree
+                while exch_depths and d2 <= exch_depths[-1]:
+                    exch_depths.pop()
+                if name2 == "Exchange":
+                    exch_depths.append(d2)
+                elif name2 == "Scan ExistingRDD" and not exch_depths:
+                    cols = scan_cols.get(nid2, set())
+                    flagged.extend(
+                        stage
+                        for stage, sig in signatures.items()
+                        if set(sig) <= cols
+                    )
     return flagged
 
 
