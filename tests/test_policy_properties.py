@@ -184,3 +184,46 @@ def test_q117_cap_recall_invariants(spark, sf_dir):
         assert row.coverage_content == (
             row.n_pairs_prod / row.n_pairs_content
         )
+
+
+def test_q118_admit_cap_invariants_and_q86_consistency(spark, sf_dir):
+    """q118's counts are nested by construction (a pair admissible at
+    the production cap is admissible at the 10x calibration cap), and
+    where NO bucket is saturated (every SF <= sf1 on this corpus: max
+    occupancy 58 < ADMIT_BAND_CAP) the calibration verdicts must equal
+    the EXACT admit path's: n_dup_cal == q86's non-unique doc count and
+    n_pairs_cal == q86's total candidate volume. A cap or probe edit
+    that silently changes the uncapped semantics fails here, not in a
+    driver round."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        q86_incremental_dedup,
+    )
+    from rime_wanxiang_logger_spark.operators.policy import (
+        q118_admit_cap_recall,
+    )
+
+    row = q118_admit_cap_recall(spark, sf_dir).collect()[0]
+    assert row.n_dup_prod <= row.n_dup_cal <= row.n_new
+    assert row.n_pairs_prod <= row.n_pairs_cal
+    assert row.n_lost == row.n_dup_cal - row.n_dup_prod
+    if row.n_dup_cal:
+        assert row.recall_prod == round(row.n_dup_prod / row.n_dup_cal, 9)
+    else:
+        assert row.recall_prod is None
+    # caps inactive on the small test corpus -> capped == exact
+    assert row.n_overcal_buckets == 0 and row.n_new_overcal == 0
+    assert row.n_lost == 0 and row.n_pairs_prod == row.n_pairs_cal
+    q86 = (
+        q86_incremental_dedup(spark, sf_dir)
+        .agg(
+            F.sum(F.when(~F.col("is_unique"), 1).otherwise(0)).alias("d"),
+            F.sum("n_cand").alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert row.n_dup_cal == q86["d"]
+    assert row.n_pairs_cal == q86["p"]
+    assert row.n_new == q86["n"]
