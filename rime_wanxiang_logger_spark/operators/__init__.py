@@ -255,6 +255,11 @@ _REQUEUE: dict[str, int] = {
     # green rows through r10 so the driver re-certifies the new shape.
     "q25_embedding_neardup": 10,
     "q72_semantic_dedup": 10,
+    # r11: the winnowing posting joins moved from sort-merge to
+    # shuffle-hash builds of their narrow sides (the sf80 sort-skew
+    # finding) — value-identical, but the executed plan changed.
+    "q105_winnow_overlap": 10,
+    "q117_winnow_cap_recall": 10,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

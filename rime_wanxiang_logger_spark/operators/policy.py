@@ -357,16 +357,24 @@ def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     # Inner join keeps only capped fingerprints. The strategy is
-    # PINNED to sort-merge (r9): both sides are corpus-sized (the q91
-    # rule says never force a broadcast here), and the stats-based
-    # alternative is poisoned — the q52_fps checkpoint pin is a
-    # LogicalRDD whose originStats carry the source plan's ESTIMATE
-    # (8.1 MiB at sf5 for an actually-GB-scale posting list), so the
-    # static planner happily broadcast df_ok until it OOMed the
-    # driver at sf5 in q117's twin of this join. A corpus-proportional
-    # dimension must be shuffle-joined by construction, not by
-    # estimate (plan test pins it).
-    slim = fps.join(df_ok.hint("merge"), "fp")
+    # PINNED (r9): both sides are corpus-sized (the q91 rule says
+    # never force a broadcast here), and the stats-based alternative
+    # is poisoned — the q52_fps checkpoint pin is a LogicalRDD whose
+    # originStats carry the source plan's ESTIMATE (8.1 MiB at sf5 for
+    # an actually-GB-scale posting list), so the static planner
+    # happily broadcast df_ok until it OOMed the driver at sf5 in
+    # q117's twin of this join. r11: pinned to SHUFFLE-HASH with the
+    # NARROW side (df_ok, one bare fp per row) as build — the former
+    # hint("merge") sorted the ENTIRE raw posting list, whose
+    # boilerplate fingerprints (df up to 10⁶ on a saturated-vocabulary
+    # corpus) skew the fp-hash partitions: measured at sf80 as a
+    # 4-straggler sort/spill tail and a 16.3× wall for 4× data, while
+    # the capped pair work itself stays near-linear. SHJ streams the
+    # raw postings through a per-partition hash of df_ok (narrow,
+    # ≤ distinct-capped-fps rows) — no sort of the skewed side at all;
+    # the q116 lesson (stacked SMJ sorts blow execution memory before
+    # shuffle-hash builds of one-row-per-key sides do).
+    slim = fps.join(df_ok.hint("shuffle_hash"), "fp")
     a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
     b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
     # The posting-list self-join is big x big by construction — pinned
@@ -414,15 +422,19 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # q99's two-level source-count: (fp, source) partials, then per-fp
     # totals — no countDistinct Expand over the posting volume. Join
-    # strategy pinned to sort-merge (r9): fps is the checkpoint-pinned
-    # posting list whose LogicalRDD originStats UNDERSTATE its size by
-    # orders of magnitude (8.1 MiB claimed vs GB actual at sf5), and
-    # the static planner chose BuildLeft — broadcasting the ENTIRE
+    # strategy PINNED (r9): fps is the checkpoint-pinned posting list
+    # whose LogicalRDD originStats UNDERSTATE its size by orders of
+    # magnitude (8.1 MiB claimed vs GB actual at sf5), and the
+    # stats-based planner chose BuildLeft — broadcasting the ENTIRE
     # posting list — which OOM-crashed the driver on the first raw
     # sf5 run this query ever got. Both sides are corpus-proportional;
     # shuffle-join by construction (q91 rule, plan test pins it).
+    # r11: shuffle-hash with the one-row-per-doc src side as build —
+    # hint("merge") sorted the raw posting list, whose boilerplate
+    # fingerprints skew the hash partitions (q105's measured sf80
+    # sort/spill tail); SHJ streams the postings, sorts nothing.
     by_src = (
-        fps.hint("merge").join(src, "doc_id")
+        fps.join(src.hint("shuffle_hash"), "doc_id")
         .groupBy("fp", "source")
         .agg(F.count(F.lit(1)).alias("n_docs_src"))
     )
@@ -441,9 +453,10 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_content"),
     )
-    # Same pinned sort-merge as q105's slim join (see by_src note): fp
-    # is a corpus-sized dimension and fps' checkpoint stats lie.
-    slim = fps.hint("merge").join(band, "fp")
+    # Same pinned shuffle-hash as q105's slim join (see by_src note):
+    # fp is a corpus-sized dimension, fps' checkpoint stats lie, and
+    # band is the narrow one-row-per-fp build side.
+    slim = fps.join(band.hint("shuffle_hash"), "fp")
     a = slim.select(
         F.col("doc_id").alias("doc_a"), "fp", "df", "is_content"
     )

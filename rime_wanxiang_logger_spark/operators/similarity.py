@@ -16,10 +16,12 @@ Scale design:
   vectors), so it broadcasts and the big side streams — no shuffle of
   the corpus; per-query top-k via window on the (small) scored set.
 - q25 is the bucketed pipeline: a mapInPandas band stage (48-plane
-  sign-LSH → 12×4-bit band keys) → ONE shuffle on (band_id, band_key)
-  → vectorized within-bucket scoring in applyInPandas → cross-band
-  distinct. No pair join, no corpus×corpus anywhere (pinned by a
-  plan-shape test); recall vs brute force pinned by a test floor.
+  sign-LSH → 12×4-bit band keys, KEYS-ONLY output) → one shuffle-hash
+  join reattaching vectors by vec_id → one bucket shuffle on
+  (band_id, band_key, sub_key) → vectorized within-bucket scoring in
+  applyInPandas → cross-band distinct. No pair join, no corpus×corpus
+  anywhere (pinned by a plan-shape test); recall vs brute force
+  pinned by a test floor.
 - q27's signature is 8 sign bits w.r.t. data-derived hyperplanes (the
   first 8 vectors) — deterministic, no RNG, oracle-replayable; vectors
   hash to one bucket each, so candidate pairs come from a groupBy,

@@ -165,27 +165,36 @@ STREAM_STATE = {
 
 
 class _StateCapture:
-    """Collects the LAST non-empty stateOperators snapshot seen between
-    ``reset()`` and ``take()`` (an availableNow drain reports state per
-    micro-batch; the final batch's totals are the drain's footprint).
-    Listener delivery is async, so ``take`` polls briefly."""
+    """Collects the PEAK stateOperators footprint seen between
+    ``reset()`` and ``take()``. An availableNow drain reports state per
+    micro-batch and the watermark evicts state as it advances, so the
+    FINAL batch's totals under-report by design (first attempt recorded
+    q92's sf80 state as 147k rows when its sf20 point showed 2.48M —
+    the last batch had already evicted; the drain's real footprint is
+    the maximum). Listener delivery is async, so ``take`` polls
+    briefly for at least one snapshot."""
 
     def __init__(self) -> None:
-        self.snap: list[dict] | None = None
+        self.rows: int | None = None
+        self.bytes: int | None = None
 
     def reset(self) -> None:
-        self.snap = None
+        self.rows = None
+        self.bytes = None
+
+    def observe(self, ops: list[dict]) -> None:
+        r = sum(o.get("numRowsTotal", 0) for o in ops)
+        b = sum(o.get("memoryUsedBytes", 0) for o in ops)
+        self.rows = r if self.rows is None else max(self.rows, r)
+        self.bytes = b if self.bytes is None else max(self.bytes, b)
 
     def take(self, grace_s: float = 3.0) -> dict | None:
         t0 = time.perf_counter()
-        while self.snap is None and time.perf_counter() - t0 < grace_s:
+        while self.rows is None and time.perf_counter() - t0 < grace_s:
             time.sleep(0.1)
-        if self.snap is None:
+        if self.rows is None:
             return None
-        return {
-            "rows": sum(o.get("numRowsTotal", 0) for o in self.snap),
-            "bytes": sum(o.get("memoryUsedBytes", 0) for o in self.snap),
-        }
+        return {"rows": self.rows, "bytes": self.bytes}
 
 
 def _install_state_listener(spark) -> _StateCapture:
@@ -204,7 +213,7 @@ def _install_state_listener(spark) -> _StateCapture:
                 return
             ops = p.get("stateOperators") or []
             if ops:
-                cap.snap = ops
+                cap.observe(ops)
 
         def onQueryIdle(self, event):  # noqa: N802
             pass
@@ -319,11 +328,38 @@ def _q92_density(spark, d: str) -> dict[str, int]:
     return {"out_pairs": int(n)}
 
 
+def _q105_density(spark, d: str) -> dict[str, int]:
+    """q105's generated-pair volume: Σ_fp C(df, 2) over capped
+    fingerprints — the exact row count the posting self-join emits
+    before the per-pair rollup. One linear aggregate over the
+    fingerprint table (no pair join), so the probe stays cheap at any
+    decade. Output pairs (n_shared ≥ MIN_SHARED_FPS survivors) need
+    the join itself to count, so the gate rides the WORK integral —
+    the same Θ(work + output) defense as q25's work gate; r11,
+    recorded after the first q105 sf80 point measured 16.3× for 4×
+    data and needed adjudication."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.dedup import q52_winnowing
+    from rime_wanxiang_logger_spark.operators.policy import FP_DF_CAP
+
+    w = (
+        q52_winnowing(spark, d)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= FP_DF_CAP)
+        .agg(F.sum(F.expr("df * (df - 1) / 2")).alias("w"))
+        .collect()[0]["w"]
+    )
+    return {"work_pairs": int(w or 0)}
+
+
 DENSITY_PROBES = {
     "q25_embedding_neardup": _q25_density,
     "q93_edit_verify": _cand_pair_density,
     "q97_containment": _cand_pair_density,
     "q92_dedup_admit": _q92_density,
+    "q105_winnow_overlap": _q105_density,
 }
 
 # Near-gate sweep points are session noise until proven otherwise
@@ -535,10 +571,44 @@ def main(only: list[str] | None = None) -> None:
         f.write("\n")
 
 
+def density_only(names: list[str]) -> None:
+    """Run ONLY the registered density probes for ``names`` at every
+    decade the standing artifact carries a wall for, and merge the
+    density dicts into those rows (walls untouched). For retrofitting
+    a probe onto an already-measured query without re-paying its
+    walls — the probes are linear aggregates, orders cheaper than the
+    queries they adjudicate."""
+    path = os.path.abspath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "scale_proof.json"
+    ))
+    data = json.load(open(path))
+    spark = get_spark("scale-proof-density")
+    dirs = [
+        ("sf01", SF01), ("sf1", SF1), ("sf5", SF5),
+        ("sf20", SF20), ("sf80", SF80),
+    ]
+    for name in names:
+        probe = DENSITY_PROBES[name]
+        row = data[name]
+        for label, d in dirs:
+            if label not in row or not os.path.isdir(d):
+                continue
+            dens = probe(spark, d)
+            for k, v in dens.items():
+                row.setdefault(k, {})[label] = v
+            print(f"{name} {label}: {dens}", flush=True)
+    spark.stop()
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+        f.write("\n")
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--clean-ab":
         clean_ab(sys.argv[2], sys.argv[3], sys.argv[4])
     elif len(sys.argv) >= 3 and sys.argv[1] == "--only":
         main(only=sys.argv[2:])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--density-only":
+        density_only(sys.argv[2:])
     else:
         main()

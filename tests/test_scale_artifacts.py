@@ -106,17 +106,24 @@ def test_scale_proof_artifact_is_sublinear():
     # production posture for adversarial densities.
     def _ceiling(v: dict, label: str, data_factor: float,
                  backstop: float) -> float:
-        dens = v.get("out_pairs")
-        if not dens:
-            return backstop
+        # a query may record output density (out_pairs), work density
+        # (work_pairs), or both — wall must track Θ(work + output), so
+        # the ceiling rides the LARGEST measured growth (r11: q105's
+        # gate uses its work integral; its output needs the pair join
+        # itself to count)
         prev = {"sf5": "sf1", "sf20": "sf5", "sf80": "sf20"}[label]
-        if prev not in dens or label not in dens:
+        growth = 0.0
+        for key in ("out_pairs", "work_pairs"):
+            dens = v.get(key)
+            if dens and prev in dens and label in dens and dens[prev]:
+                growth = max(growth, dens[label] / dens[prev])
+        if not growth:
             return backstop
         # same noise allowance as the plain backstops: 1.5x-linear at
         # the first extra decade, 2x-linear at the 4x-data decades
         # (a single decade on this shared host swings ±50%)
         mult = 1.5 if label == "sf5" else 2.0
-        return mult * max(data_factor, dens[label] / dens[prev])
+        return mult * max(data_factor, growth)
 
     # Second scale point (r7): sf1→sf5 is 5× data, so linear is 5×
     # and the generous blowup ceiling is 1.5× linear (7.5×).
