@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.stable import davg, davg_expr
 from ..sources.readers import fanout, load_table
 from ._stage_cache import consume, provide
 
@@ -719,12 +720,211 @@ def q66_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q119's held-out eval set: every EVAL_MOD-th vector (remainder
+#: EVAL_REM) models a benchmark suite embedded alongside the corpus.
+#: ~4% of vectors — 20 eval rows at sf0.01, 80 at sf0.1 — so the
+#: mixed-pair candidate set is non-trivial at every driver SF.
+EVAL_MOD = 25
+EVAL_REM = 7
+
+
+def q119_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: corpus vectors whose cosine to ANY
+    held-out eval vector reaches NEARDUP_THRESHOLD among the banded
+    sign-LSH candidates — the embedding-space twin of q75/q108's
+    n-gram decontamination (reference scope: the same "drop training
+    rows that leak the benchmark" pass, cli.py's miss-export filter
+    family, applied to the vector plane).
+
+    Shape: q25's split-banded posting list (the standing near-dup
+    index — shared machinery, same bucket keys), but the per-bucket
+    scorer evaluates ONLY eval × corpus cross pairs: buckets with no
+    eval member cost zero scoring work, and a mixed bucket costs
+    |E|·|C| instead of C(|E|+|C|, 2). Work is strictly a subset of
+    q25's Θ(n·CAP) bound; output is one row per contaminated corpus
+    vector (distinct eval partners counted, best cosine kept).
+
+    100 TB note: here the eval set is modeled as a corpus fraction
+    (vec_id % EVAL_MOD == EVAL_REM) so the bucket shuffle is kept; a
+    production benchmark suite is a BOUNDED table, in which case its
+    banded keys broadcast and the corpus posting list needs no
+    shuffle at all — the plan below degrades gracefully to that form
+    by swapping the groupBy for a broadcast semi-join on bucket keys.
+    """
+    banded = neardup_banded(spark, sf_dir)
+    thresh = NEARDUP_THRESHOLD
+    mod, rem = EVAL_MOD, EVAL_REM
+    blk = NEARDUP_SCORE_BLOCK
+
+    def score_cross(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "eval_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        is_eval = (ids % mod) == rem
+        if not is_eval.any() or is_eval.all():
+            return empty
+        M = np.stack(pdf["v"].map(np.asarray)).astype(np.float64)
+        d = M.shape[1]
+        # Strict left-to-right folds — bit-equal to the oracle's
+        # sequential list_sum (the q25 score_bucket rule).
+        nrm2 = np.zeros(len(ids))
+        for k in range(d):
+            nrm2 += M[:, k] * M[:, k]
+        nrm = np.sqrt(nrm2)
+        evl = np.where(is_eval)[0]
+        cor = np.where(~is_eval)[0]
+        chunks = []
+        # Blocked over the corpus side: temporaries O(blk·|E|), the
+        # same memory backstop as q25's upper-triangle sweep.
+        for s in range(0, len(cor), blk):
+            cb = cor[s : s + blk]
+            ia2, ib2 = np.meshgrid(cb, evl, indexing="ij")
+            ia, ib = ia2.ravel(), ib2.ravel()
+            dot = np.zeros(len(ia))
+            for k in range(d):
+                dot += M[ia, k] * M[ib, k]
+            cos = np.round(dot / (nrm[ia] * nrm[ib]), 9)
+            keep = cos >= thresh
+            if keep.any():
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids[ia[keep]],
+                            "eval_id": ids[ib[keep]],
+                            "cosine": cos[keep],
+                        }
+                    )
+                )
+        if not chunks:
+            return empty
+        return pd.concat(chunks, ignore_index=True)
+
+    hits = (
+        banded.groupBy("band_id", "band_key", "sub_key")
+        .applyInPandas(
+            score_cross,
+            schema="vec_id bigint, eval_id bigint, cosine double",
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+#: k-means over the embedding corpus: K seed centroids (the first K
+#: vectors — deterministic, no RNG, the planes rule), a fixed TWO
+#: Lloyd iterations so the oracle is a finite CTE chain. Scale 7 in
+#: the exact-decimal centroid mean bounds per-cluster mass at
+#: 2^53 / 10^7 ≈ 9·10^8 rows before the scaled-int sum leaves exact
+#: double range (sf80: 2·10^5 rows/cluster — 3 decades of headroom).
+KMEANS_K = 8
+KMEANS_SCALE = 7
+
+
+def _sqdist_lit_expr(c: list[float]) -> str:
+    """Squared euclidean distance of column ``v`` to a LITERAL
+    centroid, as one left-associated SQL chain (the _dot rule: single
+    string, 0.0D seed, strict IEEE order). Literals round-trip through
+    repr → CAST(VARCHAR AS DOUBLE), which Java parses correctly
+    rounded, so the engine evaluates bit-identically to the oracle's
+    column-form chain over the same centroid values."""
+    terms = " + ".join(
+        f"(v[{i}] - CAST('{c[i]!r}' AS DOUBLE))"
+        f" * (v[{i}] - CAST('{c[i]!r}' AS DOUBLE))"
+        for i in range(EMBED_DIM)
+    )
+    return f"0.0D + {terms}"
+
+
+def _kmeans_assign(
+    cents: list[tuple[int, list[float]]],
+) -> tuple[F.Column, F.Column]:
+    """(cluster, dist) columns assigning each row's ``v`` to its
+    nearest centroid. ``cents`` must be sorted by cluster id:
+    array_position finds the FIRST minimum, so ascending order makes
+    the tie-break "smallest cluster id" — the oracle mirrors it with
+    ``ORDER BY dist, cluster``."""
+    dists = F.array(*[F.expr(_sqdist_lit_expr(c)) for _, c in cents])
+    ids = F.array(
+        *[F.lit(int(cid)).cast("bigint") for cid, _ in cents]
+    )
+    best = F.array_position(dists, F.array_min(dists))
+    return (
+        F.element_at(ids, best.cast("int")),
+        F.array_min(dists),
+    )
+
+
+def q120_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration Lloyd's k-means over the embedding corpus —
+    the semantic-clustering pass a training-data pipeline runs for
+    mixture balancing / domain discovery before sampling.
+
+    Scale design (the 100 TB form of iterative ML on Spark):
+
+    - Assignment is a pure JVM projection: K unrolled distance chains
+      against LITERAL centroids (collected once — K×d doubles, a
+      constant-size model parameter like q25's planes), argmin via
+      array_position(array_min) — no shuffle, no Python, whole-stage
+      codegen.
+    - Recompute is ONE hash aggregate with 64 exact-decimal means
+      (davg, map-side combined): the shuffle carries ≤ K×(d+1)
+      partials per map task, never the n×d posexplode long form
+      (q42's explode is the fine-grained-key answer when the GROUP
+      count is large; here groups = K, so wide-agg wins).
+    - Driver state is K×d per iteration — bounded at any corpus size;
+      production would loop to convergence with the same footprint.
+
+    Fixed 2 iterations + deterministic seeds (vec_id < K) keep the
+    DuckDB oracle a finite CTE chain; centroid means use the exact
+    scaled-int sum (davg/davg_expr), so both engines derive
+    bit-identical centroids and therefore identical assignments —
+    distance folds are strict left-assoc chains on both sides."""
+    v = _vecs(spark, sf_dir, checked=True).select("vec_id", "v")
+    seeds = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in v.where(F.col("vec_id") < KMEANS_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cl1, _ = _kmeans_assign(seeds)
+    aggs = [
+        davg(F.expr(f"v[{i}]"), KMEANS_SCALE).alias(f"c{i}")
+        for i in range(EMBED_DIM)
+    ]
+    cent_rows = (
+        v.withColumn("cluster", cl1).groupBy("cluster").agg(*aggs).collect()
+    )
+    cents = sorted(
+        (int(r["cluster"]), [float(r[f"c{i}"]) for i in range(EMBED_DIM)])
+        for r in cent_rows
+    )
+    cl2, d2 = _kmeans_assign(cents)
+    return v.select(
+        "vec_id",
+        cl2.alias("cluster"),
+        F.round(d2, 9).alias("dist"),
+    )
+
+
 QUERIES = {
     "q25_embedding_neardup": q25_embedding_neardup,
     "q26_ann_topk": q26_ann_topk,
     "q27_ann_lsh": q27_ann_lsh,
     "q66_embedding_quantize": q66_embedding_quantize,
     "q72_semantic_dedup": q72_semantic_dedup,
+    "q119_semantic_decontaminate": q119_semantic_decontaminate,
+    "q120_kmeans_embeddings": q120_kmeans_embeddings,
 }
 
 _DOT_DUCK = (
@@ -733,6 +933,23 @@ _DOT_DUCK = (
 _NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
 _V = "CAST(embedding AS DOUBLE[])"
+
+# q120's DuckDB twins. _SQDIST_DUCK is the column form of
+# _sqdist_lit_expr — same 0.0 seed, same left-associated term order
+# (DuckDB lists are 1-indexed). The centroid means are davg_expr at
+# KMEANS_SCALE, exactly the engine's davg, so the centroid doubles the
+# two engines feed into iteration 2 are bit-identical.
+_SQDIST_DUCK = "0.0 + " + " + ".join(
+    f"(a.v[{i}] - c.cv[{i}]) * (a.v[{i}] - c.cv[{i}])"
+    for i in range(1, EMBED_DIM + 1)
+)
+_CENTROID_COLS_DUCK = ",\n                 ".join(
+    f"{davg_expr(f'v[{i + 1}]', KMEANS_SCALE)} AS c{i}"
+    for i in range(EMBED_DIM)
+)
+_CENTROID_LIST_DUCK = (
+    "list_value(" + ", ".join(f"c{i}" for i in range(EMBED_DIM)) + ")"
+)
 
 # Integer-exact split width for a bucket of {n} rows (mirror of
 # _need_bits_int): q = ceil(margin·n / cap) by ceil-division, nb =
@@ -924,5 +1141,59 @@ ORACLE = {
                CAST(COUNT(*) FILTER (WHERE abs(code) = 127) AS INT)
                  AS n_clipped
         FROM codes GROUP BY vec_id
+    """,
+    # q119: the mixed-pair filter over the SAME banded candidate set —
+    # the engine scores only eval × corpus cross pairs inside each
+    # bucket; that set is exactly `neardup` restricted to pairs with
+    # one eval endpoint, so the oracle reuses the shared CTE verbatim.
+    "q119_semantic_decontaminate": f"""
+        WITH {_NEARDUP_CTE},
+        hits AS (
+          SELECT CASE WHEN id_a % {EVAL_MOD} = {EVAL_REM}
+                      THEN id_b ELSE id_a END AS vec_id,
+                 CASE WHEN id_a % {EVAL_MOD} = {EVAL_REM}
+                      THEN id_a ELSE id_b END AS eval_id,
+                 cosine
+          FROM neardup
+          WHERE (id_a % {EVAL_MOD} = {EVAL_REM})
+                <> (id_b % {EVAL_MOD} = {EVAL_REM})
+        )
+        SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(cosine) AS max_cosine
+        FROM hits GROUP BY vec_id
+    """,
+    "q120_kmeans_embeddings": f"""
+        WITH v AS (
+          SELECT vec_id, {_V} AS v FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS cluster, v AS cv
+          FROM v WHERE vec_id < {KMEANS_K}
+        ), d1 AS (
+          SELECT a.vec_id, c.cluster, {_SQDIST_DUCK} AS dist
+          FROM v a, c0 c
+        ), a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d1
+          ) WHERE rn = 1
+        ), c1 AS (
+          SELECT cluster,
+                 {_CENTROID_COLS_DUCK}
+          FROM a1 JOIN v USING (vec_id) GROUP BY cluster
+        ), c1l AS (
+          SELECT cluster, {_CENTROID_LIST_DUCK} AS cv FROM c1
+        ), d2 AS (
+          SELECT a.vec_id, c.cluster, {_SQDIST_DUCK} AS dist
+          FROM v a, c1l c
+        )
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               round(dist, 9) AS dist
+        FROM (
+          SELECT vec_id, cluster, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cluster) AS rn
+          FROM d2
+        ) WHERE rn = 1
     """,
 }
