@@ -62,6 +62,17 @@ def _count(path: str) -> int:
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    # r11: the SFX=800 lineitem replica (480M rows through one 800-way
+    # UNION ALL) buffered ~98 GB and was OOM-killed when anything else
+    # held memory on the host. Bound the working set so DuckDB spills
+    # to disk instead of dying; row order inside the fact files is
+    # semantically irrelevant (all queries key on values), so the
+    # order-preservation buffer can go too.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('MAKE_SF_MEM', '40GB')}'"
+    )
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
 
     for t in COPY_TABLES:
         src, dst = f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet"
