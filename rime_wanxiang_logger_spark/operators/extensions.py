@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..functions.stable import dsum, dsum_expr
 from ..sources.readers import load_table
 from .dedup import _CAND_CTE as _DEDUP_CAND_CTE, INCR_MOD, INCR_REM
+from .similarity import _NEARDUP_CTE, EVAL_MOD, EVAL_REM
 from .windows import SESSION_GAP_SECONDS
 
 TUMBLE_HOURS = 6
@@ -635,6 +636,62 @@ def q92_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q92_dedup_admit_sink")
 
 
+def q121_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q119's semantic decontamination executed as a Structured
+    Streaming job (streaming/twin.decontaminate_stream) — the
+    vector-plane mirror of q92's admit path: incoming embeddings
+    (vec_id % INCR_MOD == INCR_REM, q86's increment contract; eval
+    rows excluded — they are index, not admits) stream through the
+    stream-static band join against the STANDING eval posting index,
+    drained into a memory sink.
+
+    The stream emits verdicts for CONTAMINATED vectors only (silent
+    vectors are admitted), so the oracle is q119's SQL restricted to
+    the streamed subset — the same mixed-pair candidate set, because
+    the probe is banded with the very model the standing index was
+    built with (twin docstring).
+    """
+    from ..operators.similarity import EVAL_MOD, EVAL_REM
+    from ..sources.readers import load_table
+    from ..streaming.twin import decontaminate_stream
+
+    schema = load_table(spark, sf_dir, "embeddings").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .load(sf_dir)
+        .where(
+            ((F.col("vec_id") % INCR_MOD) == F.lit(INCR_REM))
+            & ((F.col("vec_id") % EVAL_MOD) != F.lit(EVAL_REM))
+        )
+        # the _vecs cast (similarity.py): banding folds are
+        # dimension-agnostic HOF consumers, unchecked form
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE))"
+            ).alias("v"),
+        )
+    )
+    # Plan built OUTSIDE the state-width scope (the q92 rule): the
+    # standing eval index pin and the banding-model sizing pass run at
+    # the session's full batch width; only the stream START needs the
+    # narrow width.
+    verdicts = decontaminate_stream(spark, stream, sf_dir)
+    with _stream_state_width(spark):
+        q = (
+            verdicts
+            .writeStream.format("memory")
+            .queryName("q121_decontaminate_stream_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("q121_decontaminate_stream_sink")
+
+
 def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 sessionization executed through Structured Streaming —
     ``F.session_window`` with the q33 gap, drained availableNow into a
@@ -779,6 +836,7 @@ QUERIES = {
     "q42_embedding_centroid": q42_embedding_centroid,
     "q43_stream_hourly": q43_stream_hourly,
     "q92_dedup_admit": q92_dedup_admit,
+    "q121_decontaminate_stream": q121_decontaminate_stream,
     "q100_stream_sessions": q100_stream_sessions,
     "q106_stream_attribution": q106_stream_attribution,
     "q107_stateful_asof": q107_stateful_asof,
@@ -902,6 +960,28 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_cand,
                MIN(partner) AS first_partner
         FROM candn GROUP BY doc_id
+    """,
+    # q119's oracle restricted to the streamed increment (the stream
+    # emits no row for uncontaminated vectors; the eval exclusion is
+    # explicit even though vec_id ≡ INCR_REM (mod 10) and ≡ EVAL_REM
+    # (mod 25) has no solution — robustness over arithmetic luck).
+    "q121_decontaminate_stream": f"""
+        WITH {_NEARDUP_CTE},
+        hits AS (
+          SELECT CASE WHEN id_a % {EVAL_MOD} = {EVAL_REM}
+                      THEN id_b ELSE id_a END AS vec_id,
+                 CASE WHEN id_a % {EVAL_MOD} = {EVAL_REM}
+                      THEN id_a ELSE id_b END AS eval_id,
+                 cosine
+          FROM neardup
+          WHERE (id_a % {EVAL_MOD} = {EVAL_REM})
+                <> (id_b % {EVAL_MOD} = {EVAL_REM})
+        )
+        SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(cosine) AS max_cosine
+        FROM hits
+        WHERE vec_id % {INCR_MOD} = {INCR_REM}
+          AND vec_id % {EVAL_MOD} <> {EVAL_REM}
+        GROUP BY vec_id
     """,
     # Islands flagged with diff > gap: session_window merges sessions
     # that overlap OR TOUCH (an event at exactly prev + gap extends the

@@ -434,6 +434,29 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side must never be planned as a broadcast, and SHJ avoids
     stacking two sorts on the band exchange (the q116 lesson)."""
     v = _vecs(spark, sf_dir)
+    planes, need_bits, ext_bits = _banding_model(spark, sf_dir)
+    postings = _band_postings(v, planes, need_bits, ext_bits)
+    # Reattach the vector JVM-side: corpus × corpus-postings equi-join,
+    # strategy PINNED (shuffle_hash; build = the vectors side — n rows
+    # vs 12n postings). Stats must not pick broadcast here: the corpus
+    # side grows without bound, and the postings side is a Python eval
+    # whose estimate is meaningless.
+    return postings.join(
+        v.select("vec_id", "v").hint("shuffle_hash"), "vec_id"
+    ).select("band_id", "band_key", "sub_key", "vec_id", "v")
+
+
+def _banding_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], dict, int]:
+    """The corpus-derived banding model behind :func:`neardup_banded`:
+    (planes, need_bits, ext_bits). Runs q25's sizing pass (≤ bands ×
+    2^bits rows ever reach the driver) and resolves the data-derived
+    extension-bit budget. Extracted (r11) so the streaming admit path
+    (q121) can band incoming vectors with the very same model the
+    standing index was built with — a key mismatch between probe and
+    index would silently zero the candidate set."""
+    v = _vecs(spark, sf_dir)
     bits, bands = NEARDUP_BAND_BITS, NEARDUP_BANDS
     cap = NEARDUP_CAP
 
@@ -450,15 +473,10 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_planes = _collect_planes(0, NEARDUP_PLANES)
 
-    def _sign_matrix(np, M, planes):
-        # Sign of the dot is summation-order-robust (a dot at exactly
-        # 0.0 has measure zero), so matmul is safe here; emitted
-        # VALUES in score_bucket use the strict fold.
-        P = np.array(planes, dtype=np.float64).T  # (d, n_planes)
-        return (M @ P > 0).astype(np.int64)
-
     def keys_stage(pdf_iter):
-        # Closure — pickled by value (multimodal.py rule).
+        # Closure — pickled by value (multimodal.py rule); the sign of
+        # the dot is summation-order-robust (a dot at exactly 0.0 has
+        # measure zero), so matmul is safe here.
         import numpy as np
         import pandas as pd
 
@@ -466,9 +484,9 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            sign = _sign_matrix(
-                np, np.stack(pdf["v"].map(np.asarray)), base_planes
-            )
+            M = np.stack(pdf["v"].map(np.asarray))
+            P = np.array(base_planes, dtype=np.float64).T
+            sign = (M @ P > 0).astype(np.int64)
             out = []
             for b in range(bands):
                 key = sign[:, b * bits : (b + 1) * bits] @ weights
@@ -517,6 +535,24 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     need_bits = {
         (b, k): min(_avail(b), nb) for (b, k), nb in needs.items()
     }
+    return planes, need_bits, ext_bits
+
+
+def _band_postings(
+    df: DataFrame,
+    planes: list[list[float]],
+    need_bits: dict,
+    ext_bits: int,
+    with_vec: bool = False,
+) -> DataFrame:
+    """Apply a banding model to ANY (vec_id, v) frame — the batch
+    corpus or a streaming micro-batch (mapInPandas is stream-safe):
+    emits the keys-only posting list (band_id, band_key, sub_key,
+    vec_id). ``with_vec`` carries the vector through Arrow as well —
+    ONLY for provably small probe-side frames (a streaming admit
+    batch); the corpus path must stay keys-only and rejoin JVM-side
+    (the r10 posting-traffic finding, neardup_banded docstring)."""
+    bits, bands = NEARDUP_BAND_BITS, NEARDUP_BANDS
 
     def band_stage(pdf_iter):
         import numpy as np
@@ -527,9 +563,9 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            sign = _sign_matrix(
-                np, np.stack(pdf["v"].map(np.asarray)), planes
-            )
+            M = np.stack(pdf["v"].map(np.asarray))
+            P = np.array(planes, dtype=np.float64).T
+            sign = (M @ P > 0).astype(np.int64)
             m = sign.shape[0]
             out = []
             for b in range(bands):
@@ -544,30 +580,21 @@ def neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [need_bits.get((b, k), 0) for k in key], dtype=np.int64
                 )
                 sub = ext_key & ((1 << nb) - 1)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "band_id": np.full(m, b, dtype=np.int64),
-                            "band_key": key,
-                            "sub_key": sub,
-                            "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                        }
-                    )
-                )
+                cols = {
+                    "band_id": np.full(m, b, dtype=np.int64),
+                    "band_key": key,
+                    "sub_key": sub,
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                }
+                if with_vec:
+                    cols["v"] = pdf["v"].reset_index(drop=True)
+                out.append(pd.DataFrame(cols))
             yield pd.concat(out, ignore_index=True)
 
-    postings = v.select("vec_id", "v").mapInPandas(
-        band_stage,
-        schema="band_id int, band_key bigint, sub_key bigint, vec_id bigint",
-    )
-    # Reattach the vector JVM-side: corpus × corpus-postings equi-join,
-    # strategy PINNED (shuffle_hash; build = the vectors side — n rows
-    # vs 12n postings). Stats must not pick broadcast here: the corpus
-    # side grows without bound, and the postings side is a Python eval
-    # whose estimate is meaningless.
-    return postings.join(
-        v.select("vec_id", "v").hint("shuffle_hash"), "vec_id"
-    ).select("band_id", "band_key", "sub_key", "vec_id", "v")
+    schema = "band_id int, band_key bigint, sub_key bigint, vec_id bigint"
+    if with_vec:
+        schema += ", v array<double>"
+    return df.select("vec_id", "v").mapInPandas(band_stage, schema=schema)
 
 
 def q72_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

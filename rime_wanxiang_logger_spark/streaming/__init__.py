@@ -2,6 +2,7 @@ from . import twin  # noqa: F401
 from .twin import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
     attribution_stream,
+    decontaminate_stream,
     dedup_admit_stream,
     dedup_stream,
     hourly_rollup_stream,

@@ -564,6 +564,109 @@ def dedup_admit_stream(
     )
 
 
+#: q121's admission clock — the vector-plane mirror of ADMIT_TS_EXPR
+#: (deterministic, derived from the key, so the drained rows are
+#: reproducible and oracle-comparable).
+VEC_ADMIT_TS_EXPR = f"timestamp_seconds({ADMIT_EPOCH_S} + vec_id)"
+
+
+def decontaminate_stream(
+    spark,
+    new_vecs: DataFrame,
+    sf_dir: str,
+    watermark: str = ADMIT_WATERMARK,
+) -> DataFrame:
+    """q119's semantic decontamination on an UNBOUNDED new-vector
+    stream: per arriving embedding, its cosine hits against the
+    STANDING eval-vector band index and the contamination verdict —
+    the vector-plane mirror of :func:`dedup_admit_stream` (and the
+    admit-time form a production ingestion pipeline actually runs:
+    check each incoming shard against the benchmark index BEFORE it
+    enters the corpus).
+
+    Shape: the incoming micro-batch is banded with the SAME
+    corpus-derived model the standing index was built with
+    (similarity._banding_model — plan-construction-time sizing pass;
+    a probe/index key mismatch would silently zero the candidate set),
+    then stream-static equi-joined on (band_id, band_key, sub_key)
+    against the pinned eval posting table, scored with the strict JVM
+    dot-product chain (similarity._dot — bit-equal to the batch
+    scorer's numpy fold AND the DuckDB oracle), deduped across bands
+    within the watermark, and aggregated per vector in UPDATE mode.
+
+    State is bounded at any stream length (the dedup_admit_stream
+    argument, verbatim): the pair dedup holds only pairs younger than
+    the watermark horizon; the per-vector aggregate evicts once the
+    watermark passes its admission window; stream-static joins are
+    stateless, so each vector's verdict is final in the batch that
+    delivered it.
+
+    100 TB note: the standing side here is the EVAL index — a bounded
+    benchmark suite in production — so unlike q92's corpus band table
+    it stays broadcastable at any corpus scale; the probe side
+    carries its vectors through Arrow (with_vec — the small side by
+    construction). The probe's per-batch work is |batch| × bands
+    postings joined against eval buckets only.
+    """
+    from ..operators.similarity import (
+        EVAL_MOD,
+        EVAL_REM,
+        NEARDUP_THRESHOLD,
+        _band_postings,
+        _banding_model,
+        _dot,
+        _norm,
+        neardup_banded,
+    )
+
+    # PIN the standing eval band index (the dedup_admit_stream rule:
+    # a stream-static join re-evaluates the static side EVERY
+    # micro-batch — unpinned, that is the corpus-wide banding pass per
+    # batch). Eager, at the caller's full batch width. In production
+    # this is the persisted benchmark index; the pin is its
+    # session-local stand-in.
+    eval_post = (
+        neardup_banded(spark, sf_dir)
+        .where((F.col("vec_id") % EVAL_MOD) == F.lit(EVAL_REM))
+        .select(
+            "band_id",
+            "band_key",
+            "sub_key",
+            F.col("vec_id").alias("eval_id"),
+            F.col("v").alias("ev"),
+        )
+        .withColumn("enrm", _norm("ev"))
+        .localCheckpoint()
+    )
+    planes, need_bits, ext_bits = _banding_model(spark, sf_dir)
+    probe = (
+        _band_postings(new_vecs, planes, need_bits, ext_bits, with_vec=True)
+        .withColumnRenamed("v", "sv")
+        .withColumn("snrm", _norm("sv"))
+    )
+    pairs = (
+        probe.join(eval_post, ["band_id", "band_key", "sub_key"])
+        .withColumn(
+            "cosine",
+            F.round(_dot("sv", "ev") / (F.col("snrm") * F.col("enrm")), 9),
+        )
+        .where(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .withColumn("admit_ts", F.expr(VEC_ADMIT_TS_EXPR))
+        .withWatermark("admit_ts", watermark)
+        .dropDuplicatesWithinWatermark(["vec_id", "eval_id"])
+    )
+    return (
+        pairs.groupBy(
+            F.window("admit_ts", ADMIT_WINDOW).alias("win"), F.col("vec_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select("vec_id", "n_eval_hits", "max_cosine")
+    )
+
+
 ATTRIBUTION_HORIZON = "1 hour"
 ATTRIBUTION_HORIZON_S = 3600
 

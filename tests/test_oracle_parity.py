@@ -80,4 +80,4 @@ def test_registry_paired_and_unshadowed():
         for name in m.QUERIES:
             assert name not in seen, f"{name} in both {seen[name]} and {m.__name__}"
             seen[name] = m.__name__
-    assert len(seen) == len(QUERIES) == 121
+    assert len(seen) == len(QUERIES) == 122

@@ -836,3 +836,67 @@ def test_stateful_page_rank_multibatch_parity(spark, tmp_path):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_decontaminate_stream_parity(spark, tmp_path):
+    """Streaming semantic decontamination (q121: stream-static band
+    join against the standing eval index) must produce exactly the
+    batch q119 verdicts for the same new-vector increment — per
+    vector: distinct eval hits and best cosine. Streamed in TWO files
+    so the stream-static join spans micro-batches."""
+    from rime_wanxiang_logger_spark.operators.similarity import (
+        EVAL_MOD,
+        EVAL_REM,
+        q119_semantic_decontaminate,
+    )
+    from rime_wanxiang_logger_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    src = tmp_path / "new_vecs"
+    src.mkdir()
+    new = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .where(
+            ((F.col("vec_id") % INCR_MOD) == INCR_REM)
+            & ((F.col("vec_id") % EVAL_MOD) != EVAL_REM)
+        )
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+    )
+    mid = [r[0] for r in new.select("vec_id").collect()]
+    mid = sorted(mid)[len(mid) // 2]
+    new.where(F.col("vec_id") <= mid).coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+    new.where(F.col("vec_id") > mid).coalesce(1).write.parquet(
+        str(src / "batch2")
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, v array<double>")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = st.run_stream_to_memory(
+        st.decontaminate_stream(spark, stream, sf), "decon", "update"
+    )
+    try:
+        got = {
+            r["vec_id"]: (r["n_eval_hits"], r["max_cosine"])
+            for r in spark.table("decon").collect()
+        }
+        batch = {
+            r["vec_id"]: (r["n_eval_hits"], r["max_cosine"])
+            for r in q119_semantic_decontaminate(spark, sf).collect()
+            if r["vec_id"] % INCR_MOD == INCR_REM
+            and r["vec_id"] % EVAL_MOD != EVAL_REM
+        }
+        assert got == batch
+        assert batch  # non-vacuous: the increment contains contamination
+    finally:
+        q.stop()
