@@ -128,6 +128,15 @@ SECOND_POINT = [
     "q93_edit_verify",
     "q97_containment",
     "q52_winnowing",
+    # r11: q53 (MinHash-pair CC closure) carried only the first decade
+    # while its embedding twin q72 is four-decade-proven; the CC
+    # family's batch representative joins the full ladder.
+    "q53_dedup_clusters",
+    # r11: the new streaming decontamination admit path — first-decade
+    # wall + state telemetry from day one (every other drain earned
+    # its sweep slot only after a scale surprise; start this one
+    # measured).
+    "q121_decontaminate_stream",
 ]
 
 # Fourth-decade subset (r10): the streaming plane's three certified
@@ -149,6 +158,15 @@ FOURTH_POINT = [
     # winnowing representative (sf20 wall 134 s, affordable once).
     "q72_semantic_dedup",
     "q105_winnow_overlap",
+    # r11b: after the shuffle-hash posting-join fix, q117 (q105's
+    # calibration twin — same joins at the 10x cap) completes the
+    # winnowing family's sf80 coverage. q53 stays three-decade: its
+    # edge set is the UNCAPPED MinHash pair family whose density is
+    # measured quadratic on this vocab (out_pairs 16.5x per 4x —
+    # q93/q97's adjudication), so an sf80 point would time the corpus
+    # artifact, not the closure; the CC-at-sf80 representative is q72
+    # (banded, capped pair graph).
+    "q117_winnow_cap_recall",
 ]
 
 # Streaming drains whose state-store footprint the sweep records
@@ -161,6 +179,7 @@ STREAM_STATE = {
     "q106_stream_attribution",
     "q107_stateful_asof",
     "q92_dedup_admit",
+    "q121_decontaminate_stream",
 }
 
 
@@ -358,6 +377,11 @@ DENSITY_PROBES = {
     "q25_embedding_neardup": _q25_density,
     "q93_edit_verify": _cand_pair_density,
     "q97_containment": _cand_pair_density,
+    # r11: q53's CC closure runs over the same uncapped candidate-pair
+    # edge set — its wall must be gated by measured EDGE growth, not
+    # data growth (the q93/q97 adjudication, applied at declaration
+    # time instead of after a flagged decade).
+    "q53_dedup_clusters": _cand_pair_density,
     "q92_dedup_admit": _q92_density,
     "q105_winnow_overlap": _q105_density,
 }

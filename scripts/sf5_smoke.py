@@ -17,6 +17,10 @@ order, no idle-host gating) — the gated ratios live in
 scale_proof.json. The pass/fail column is the artifact.
 
 Run:  python scripts/sf5_smoke.py [sf_dir]      (default /tmp/sf5)
+      python scripts/sf5_smoke.py [sf_dir] --only name [name...]
+          targeted re-run MERGED into the standing artifact (the
+          scale_proof --only pattern, r11) — for newly registered
+          queries without re-paying the full ~15 min sweep.
 Writes sf5_smoke.json at the repo root.
 """
 
@@ -33,12 +37,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rime_wanxiang_logger_spark.operators import all_queries  # noqa: E402
 from rime_wanxiang_logger_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf5"
+_ARGS = sys.argv[1:]
+ONLY: list[str] | None = None
+if "--only" in _ARGS:
+    i = _ARGS.index("--only")
+    ONLY = _ARGS[i + 1 :]
+    _ARGS = _ARGS[:i]
+SF_DIR = _ARGS[0] if _ARGS else "/tmp/sf5"
 
 
 def main() -> None:
     spark = get_spark("sf5-smoke")
     funcs = all_queries()
+    if ONLY is not None:
+        missing = set(ONLY) - set(funcs)
+        assert not missing, f"unknown queries: {missing}"
+        funcs = {k: v for k, v in funcs.items() if k in ONLY}
     import glob
 
     for p in sorted(glob.glob(f"{SF_DIR}/*.parquet")):
@@ -68,6 +82,13 @@ def main() -> None:
     path = os.path.abspath(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "sf5_smoke.json"
     ))
+    if ONLY is not None and os.path.exists(path):
+        # targeted mode: merge the re-run rows over the standing
+        # artifact (replacing each re-run query's row wholesale)
+        standing = json.load(open(path))["queries"]
+        standing.update(out)
+        out = standing
+        failures = sum(1 for v in out.values() if not v["ok"])
     with open(path, "w") as f:
         json.dump(
             {"sf_dir": SF_DIR, "n": len(out), "failures": failures,
