@@ -260,6 +260,11 @@ _REQUEUE: dict[str, int] = {
     # finding) — value-identical, but the executed plan changed.
     "q105_winnow_overlap": 10,
     "q117_winnow_cap_recall": 10,
+    # r11b: the q52 fingerprint stage moved from the interpreted
+    # Catalyst HOF to the Arrow-vectorized rolling fold (same modular
+    # arithmetic, value-identical at sf0.01/sf0.1/sf1) — the executed
+    # plan changed, so its green rows through r10 are invalidated.
+    "q52_winnowing": 10,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

@@ -361,20 +361,29 @@ WIN_W = 4  # window size (hashes)
 _WB = 257
 _WP = 9007199254740881  # largest prime < 2^53: acc·B + c < 2^62 exact
 
-# h_i = RK hash of the k-gram at position i (nested HOF lambdas; the
-# inner fold captures the outer position variable).
-_KGRAM_HASHES_SPARK = (
-    f"transform(sequence(1, greatest(length(text) - {WIN_K - 1}, 0)), i -> "
-    f"aggregate(sequence(0, {WIN_K - 1}), CAST(0 AS BIGINT), "
-    f"(acc, j) -> (acc * {_WB} + ascii(substring(text, i + j, 1))) % {_WP}))"
-)
-
-
 def q52_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint set per doc: min hash of each sliding
-    window of WIN_W consecutive k-gram hashes, dedup'd — O(n·k)
-    vectorized, single scan stage, no shuffle before the final
+    window of WIN_W consecutive k-gram Rabin-Karp hashes, dedup'd —
+    one Arrow-vectorized scan stage, no shuffle before the final
     explode.
+
+    r11: this stage was a nested Catalyst HOF (transform × aggregate
+    with per-char substring/ascii/mod). Higher-order lambdas are
+    CodegenFallback — evaluated INTERPRETED per element (the q66
+    rule) — so the fingerprint pass cost len(text) × WIN_K interpreted
+    expression evals per doc: ~2·10¹⁰ evals at sf80, thread-dumped
+    live as four straggler tasks parked in UTF8String.substring /
+    ArrayAggregate.eval for 40+ CPU-minutes each while the q105 sf80
+    re-measure ran. The numpy form computes identical values (the
+    stepwise (acc·B + c) % P fold per j, exact in int64: acc < P <
+    2^53, acc·257 + c < 2^62; codepoints via utf-32 decode = ascii()
+    on both engines) ~100× faster, and drops to the engine's
+    sanctioned Arrow slow path only because no codegen'd builtin can
+    express the rolling fold. Short-doc edge now matches the ORACLE
+    exactly: docs with fewer than WIN_W k-grams emit nothing (DuckDB's
+    generate_series(1,0) is empty; the old Spark sequence(1,0) form
+    was [1,0] — a latent crash on 8-10-char docs that no corpus row
+    exercises).
 
     r8 (judge r7 #4): registered as the ``q52_fps`` stage PROVIDER —
     q105's overlap join and q117's cap-recall calibration both start
@@ -386,24 +395,47 @@ def q52_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cc_labels`` pin). q52's own bench row stays the honest full
     computation: providers always rebuild."""
     docs = fanout(load_table(spark, sf_dir, "documents"))
-    hashes = docs.select(
-        "doc_id", F.expr(_KGRAM_HASHES_SPARK).alias("hs")
+    k, w, b, p = WIN_K, WIN_W, _WB, _WP
+
+    def winnow(pdf_iter):
+        # Closure — pickled by value (multimodal.py rule).
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            ids_out, fps_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # exact codepoints (= ascii(substring(text, i, 1)) in
+                # both engines for any BMP/astral char)
+                c = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(c) - k + 1
+                if n < 1:
+                    continue
+                acc = np.zeros(n, dtype=np.int64)
+                for j in range(k):  # stepwise fold — exact, see doc
+                    acc = (acc * b + c[j : j + n]) % p
+                if len(acc) < w:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(
+                    acc, w
+                ).min(axis=1)
+                fp = np.unique(win)
+                ids_out.append(np.full(len(fp), doc_id, dtype=np.int64))
+                fps_out.append(fp)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "fp": np.concatenate(fps_out),
+                    }
+                )
+
+    fps = docs.select("doc_id", "text").mapInPandas(
+        winnow, schema="doc_id bigint, fp bigint"
     )
-    sel = hashes.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, greatest(size(hs) - {WIN_W - 1}, 0)), "
-            f"i -> array_min(slice(hs, i, {WIN_W})))"
-        ).alias("sel"),
-    )
-    return provide(
-        spark,
-        "q52_fps",
-        sf_dir,
-        lambda: sel.select(
-            "doc_id", F.explode(F.array_distinct("sel")).alias("fp")
-        ),
-    )
+    return provide(spark, "q52_fps", sf_dir, lambda: fps)
 
 
 QUERIES = {

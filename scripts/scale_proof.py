@@ -90,6 +90,11 @@ QUERIES = [
     "q93_edit_verify",
     "q97_containment",
     "q52_winnowing",
+    # r11: the new streaming decontamination admit path — first-decade
+    # wall + state telemetry from day one (every other drain earned
+    # its sweep slot only after a scale surprise; start this one
+    # measured). First decade only: not a SECOND_POINT member.
+    "q121_decontaminate_stream",
 ]
 
 # The most expensive + the past super-linear watch list (q105's 6.6x
@@ -132,11 +137,6 @@ SECOND_POINT = [
     # while its embedding twin q72 is four-decade-proven; the CC
     # family's batch representative joins the full ladder.
     "q53_dedup_clusters",
-    # r11: the new streaming decontamination admit path — first-decade
-    # wall + state telemetry from day one (every other drain earned
-    # its sweep slot only after a scale surprise; start this one
-    # measured).
-    "q121_decontaminate_stream",
 ]
 
 # Fourth-decade subset (r10): the streaming plane's three certified
@@ -514,7 +514,11 @@ def main(only: list[str] | None = None) -> None:
             spark.read.parquet(p).count()
         prev_dir = {"sf1": SF1, "sf5": SF5, "sf20": SF20}[prev]
         for name in subset:
-            if prev not in out[name]:
+            # r11: a subset member with NO row at all (declared in a
+            # decade list but not in QUERIES — the --only KeyError that
+            # discarded a finished 25-min sweep) must skip, not crash:
+            # the artifact only writes at the end.
+            if name not in out or prev not in out[name]:
                 continue
             fn = funcs[name]
             try:
