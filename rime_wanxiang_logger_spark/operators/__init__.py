@@ -250,21 +250,31 @@ def _derive_verified_rounds(
 #     provider-invariant (parity tests + sf0.01 oracle re-pass), but
 #     the executed runtime changed — requeued out of caution.
 _REQUEUE: dict[str, int] = {
-    # r11: keys-only posting list changed the q25 plan (and q72's,
-    # which consumes the shared q25_pairs stage) — invalidate their
-    # green rows through r10 so the driver re-certifies the new shape.
-    "q25_embedding_neardup": 10,
-    "q72_semantic_dedup": 10,
-    # r11: the winnowing posting joins moved from sort-merge to
-    # shuffle-hash builds of their narrow sides (the sf80 sort-skew
-    # finding) — value-identical, but the executed plan changed.
-    "q105_winnow_overlap": 10,
-    "q117_winnow_cap_recall": 10,
-    # r11b: the q52 fingerprint stage moved from the interpreted
-    # Catalyst HOF to the Arrow-vectorized rolling fold (same modular
-    # arithmetic, value-identical at sf0.01/sf0.1/sf1) — the executed
-    # plan changed, so its green rows through r10 are invalidated.
-    "q52_winnowing": 10,
+    # (r11's five re-queues — q25/q72/q105/q117 keys-only+SHJ, q52
+    # vectorized fold — all expired: CORRECTNESS_r11.json carries
+    # green rows that outrank the `: 10` entries. Pruned per the
+    # round-open checklist.)
+    #
+    # r12: the over-cap membership joins inverted + salted (the
+    # FP_SALTS note in policy.py — the r11 verdict's one named-but-
+    # unlanded scale defect): postings now LEFT-ANTI-join the
+    # over-cap fp list on (fp, salt) instead of inner-joining the
+    # kept-fp verdict on bare fp. Value-identical (same kept set),
+    # but the executed plan changed.
+    "q105_winnow_overlap": 11,
+    "q117_winnow_cap_recall": 11,
+    # r12: banded_postings became a shared stage — q25 provides
+    # (raw plan unchanged, but the sharing-session result is now the
+    # pinned copy), q119 consumes it, and q121's eval index reads it
+    # batch-side with the banding model derived once per drain
+    # (ADVICE r11). Values unchanged; executed plans changed.
+    "q25_embedding_neardup": 11,
+    "q119_semantic_decontaminate": 11,
+    "q121_decontaminate_stream": 11,
+    # r12: the vectorized winnow fold gained the NULL/empty-text
+    # guard (ADVICE r11 — latent-only on this corpus, executor code
+    # changed).
+    "q52_winnowing": 11,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

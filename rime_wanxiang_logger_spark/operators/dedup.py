@@ -405,6 +405,10 @@ def q52_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdf_iter:
             ids_out, fps_out = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL (None/NaN under Arrow) or empty doc: the
+                # oracle emits no rows; the old HOF null-propagated
+                if not isinstance(text, str) or not text:
+                    continue
                 # exact codepoints (= ascii(substring(text, i, 1)) in
                 # both engines for any BMP/astral char)
                 c = np.frombuffer(

@@ -651,7 +651,12 @@ def q121_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe is banded with the very model the standing index was
     built with (twin docstring).
     """
-    from ..operators.similarity import EVAL_MOD, EVAL_REM
+    from ..operators.similarity import (
+        EVAL_MOD,
+        EVAL_REM,
+        _banding_model,
+        eval_band_index,
+    )
     from ..sources.readers import load_table
     from ..streaming.twin import decontaminate_stream
 
@@ -677,8 +682,18 @@ def q121_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plan built OUTSIDE the state-width scope (the q92 rule): the
     # standing eval index pin and the banding-model sizing pass run at
     # the session's full batch width; only the stream START needs the
-    # narrow width.
-    verdicts = decontaminate_stream(spark, stream, sf_dir)
+    # narrow width. r12: the model is derived ONCE here and shared by
+    # the eval index and the probe (ADVICE r11 — the former inline
+    # build sized the corpus twice), and the eval index reads the
+    # ``banded_postings`` stage pin batch-side (similarity.
+    # eval_band_index) so a sharing session bands the corpus once for
+    # q25/q119/q121 together; twin.py stays pin-free (the streaming
+    # audit rule — see STREAM_STATIC_AUDIT below).
+    model = _banding_model(spark, sf_dir)
+    eval_post = eval_band_index(spark, sf_dir, model=model).localCheckpoint()
+    verdicts = decontaminate_stream(
+        spark, stream, sf_dir, eval_post=eval_post, model=model
+    )
     with _stream_state_width(spark):
         q = (
             verdicts
@@ -822,6 +837,28 @@ def q110_stream_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selection_key",
         "replayed_rank",
     )
+
+
+def _q121_static_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import eval_band_index
+
+    return eval_band_index(spark, sf_dir)
+
+
+#: Batch-side audit hook for pin-consuming streaming wrappers (r12):
+#: the mechanical pin audit (tests/test_plans.py) cannot CALL a
+#: streaming wrapper — a call is a full drain — so a wrapper whose
+#: transitive closure consumes a stage pin must declare here the
+#: batch plan that embeds that consumption: the static side of its
+#: stream-static join, PRE-checkpoint, so the pin's scan is visible
+#: to plans.broadcast_pin_scans. The audit builds this plan under
+#: stage_trace and applies the same no-broadcast rule every batch
+#: consumer gets; the wrapper itself then only adds the plan cut
+#: (localCheckpoint) and the watermarked stream side, neither of
+#: which can reintroduce a static broadcast of the pin scan.
+STREAM_STATIC_AUDIT = {
+    "q121_decontaminate_stream": _q121_static_side,
+}
 
 
 QUERIES = {

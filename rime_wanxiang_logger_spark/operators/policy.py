@@ -126,6 +126,52 @@ MIN_SHARED_FPS = 5  # pair must share >= this many fingerprints
 #: counted but never joined (the join stays O(Σ min(df, CAL_DF_CAP)²)).
 CAL_DF_CAP = 10 * FP_DF_CAP
 
+#: Salt fan-out for the over-cap membership anti-joins (r12, the last
+#: named-but-unlanded scale defect): the raw posting list carries
+#: individual fingerprints with unbounded df (boilerplate), so ANY
+#: join keyed by bare fp funnels the hottest fingerprint's entire
+#: posting list through ONE reducer task — measured at sf80 as a ~4M-
+#: posting / 64 MB straggler, under AQE's 256 MB skew-split threshold
+#: and growing with max-df at 4×/decade. The fix inverts the
+#: membership test: instead of joining postings against the KEPT-fp
+#: verdict (corpus-sized, skew-keyed), anti-join them against the
+#: OVER-CAP fp list, salted — postings take a deterministic salt from
+#: hash(doc_id) % FP_SALTS (spreading every hot fp over FP_SALTS
+#: tasks) and the over-cap side explodes across all salts. The
+#: replication is cheap by construction: the cap's own definition
+#: bounds the anti side at |postings| / (cap+1) rows, so the exploded
+#: traffic is ≤ FP_SALTS/(cap+1) × |postings| bare-int64 keys (~1.5×
+#: posting volume worst case at q105's cap of 20, ~0.16× at q117's
+#: calibration cap of 200; real corpora sit far below the bound).
+#: Survivors then have per-fp multiplicity ≤ cap, so every downstream
+#: fp-keyed join (the verdict attach, the pair self-join) is skew-free
+#: by construction, not by AQE rescue. At cluster scale raise
+#: FP_SALTS with the shuffle-partition count — it bounds the residual
+#: per-task mass at max_df / FP_SALTS and is a fan-out, not a
+#: correctness knob.
+FP_SALTS = 32
+
+
+def _drop_overcap_fps(fps: DataFrame, over: DataFrame) -> DataFrame:
+    """``fps`` minus postings whose fp is in ``over``, without keying
+    any shuffle by bare fp (see the FP_SALTS note — ``over`` must be
+    the over-cap fingerprint list, one bare ``fp`` per row). Pinned
+    shuffle-hash: the exploded over-cap side is the build (narrow,
+    cap-bounded cardinality × FP_SALTS); the stats-based alternative
+    is poisoned the same way as every q52_fps consumer (checkpoint
+    originStats understate the posting list by orders of magnitude).
+    """
+    salted = fps.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(FP_SALTS)).cast("int")
+    )
+    over_s = over.select(
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(FP_SALTS - 1))).alias("_salt"),
+    )
+    return salted.join(
+        over_s.hint("shuffle_hash"), ["fp", "_salt"], "left_anti"
+    ).drop("_salt")
+
 
 def q101_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean trigram-LM probability per document, integer-exact.
@@ -350,31 +396,25 @@ def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = consume(
         spark, "q52_fps", sf_dir, lambda: q52_winnowing(spark, sf_dir)
     )
-    df_ok = (
+    # The cap verdict: aggregate fp→df first (map-side combined — a
+    # hot fp collapses to one partial row per map task, so the COUNT
+    # is never skewed), keep only the OVER-cap fps. r12: the former
+    # kept-fp membership join (r11's shuffle-hash of fps against
+    # df_ok) still shuffled the RAW posting list by bare fp, so the
+    # hottest fingerprint's ~4M sf80 postings serialized through one
+    # task (64 MB — under AQE's skew-split threshold, growing with
+    # max-df at 4×/decade: the one named-but-unlanded scale defect of
+    # the r11 verdict). Inverted + salted per the FP_SALTS note:
+    # postings anti-join the over-cap list on (fp, salt), spreading
+    # every hot fp over FP_SALTS tasks; survivors have df ≤ FP_DF_CAP
+    # so the pair self-join below is skew-free by construction.
+    over = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= FP_DF_CAP)
+        .where(F.col("df") > FP_DF_CAP)
         .select("fp")
     )
-    # Inner join keeps only capped fingerprints. The strategy is
-    # PINNED (r9): both sides are corpus-sized (the q91 rule says
-    # never force a broadcast here), and the stats-based alternative
-    # is poisoned — the q52_fps checkpoint pin is a LogicalRDD whose
-    # originStats carry the source plan's ESTIMATE (8.1 MiB at sf5 for
-    # an actually-GB-scale posting list), so the static planner
-    # happily broadcast df_ok until it OOMed the driver at sf5 in
-    # q117's twin of this join. r11: pinned to SHUFFLE-HASH with the
-    # NARROW side (df_ok, one bare fp per row) as build — the former
-    # hint("merge") sorted the ENTIRE raw posting list, whose
-    # boilerplate fingerprints (df up to 10⁶ on a saturated-vocabulary
-    # corpus) skew the fp-hash partitions: measured at sf80 as a
-    # 4-straggler sort/spill tail and a 16.3× wall for 4× data, while
-    # the capped pair work itself stays near-linear. SHJ streams the
-    # raw postings through a per-partition hash of df_ok (narrow,
-    # ≤ distinct-capped-fps rows) — no sort of the skewed side at all;
-    # the q116 lesson (stacked SMJ sorts blow execution memory before
-    # shuffle-hash builds of one-row-per-key sides do).
-    slim = fps.join(df_ok.hint("shuffle_hash"), "fp")
+    slim = _drop_overcap_fps(fps, over)
     a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
     b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
     # The posting-list self-join is big x big by construction — pinned
@@ -453,10 +493,17 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_content"),
     )
-    # Same pinned shuffle-hash as q105's slim join (see by_src note):
-    # fp is a corpus-sized dimension, fps' checkpoint stats lie, and
-    # band is the narrow one-row-per-fp build side.
-    slim = fps.join(band.hint("shuffle_hash"), "fp")
+    # r12: drop the over-calibration tail FIRST via the salted
+    # anti-join (FP_SALTS note — the former direct fps⋈band join
+    # shuffled raw postings by bare fp, q105's measured skew tail).
+    # Survivors have df ≤ CAL_DF_CAP, so attaching the band verdict
+    # by bare fp is skew-free (per-key mass ≤ CAL_DF_CAP postings);
+    # shuffle-hash stays pinned with the one-row-per-fp band side as
+    # build (checkpoint stats lie; the q117 OOM rule).
+    over_cal = fpstat.where(F.col("df") > CAL_DF_CAP).select("fp")
+    slim = _drop_overcap_fps(fps, over_cal).join(
+        band.hint("shuffle_hash"), "fp"
+    )
     a = slim.select(
         F.col("doc_id").alias("doc_a"), "fp", "df", "is_content"
     )

@@ -575,6 +575,8 @@ def decontaminate_stream(
     new_vecs: DataFrame,
     sf_dir: str,
     watermark: str = ADMIT_WATERMARK,
+    eval_post: DataFrame | None = None,
+    model: tuple | None = None,
 ) -> DataFrame:
     """q119's semantic decontamination on an UNBOUNDED new-vector
     stream: per arriving embedding, its cosine hits against the
@@ -607,38 +609,37 @@ def decontaminate_stream(
     carries its vectors through Arrow (with_vec — the small side by
     construction). The probe's per-batch work is |batch| × bands
     postings joined against eval buckets only.
+
+    ``eval_post`` / ``model`` (r12): the q121 wrapper passes the
+    materialized eval index (similarity.eval_band_index — batch-side
+    so the stage pin it reads stays out of the streaming plane's
+    pin-free closure) and the banding model it was derived with, so
+    the corpus-wide sizing pass runs ONCE per drain (ADVICE r11: the
+    former inline build ran it twice — once inside neardup_banded for
+    the index, once here for the probe). Defaults rebuild both
+    in-place, pin-free, for direct callers.
     """
     from ..operators.similarity import (
-        EVAL_MOD,
-        EVAL_REM,
         NEARDUP_THRESHOLD,
         _band_postings,
         _banding_model,
         _dot,
         _norm,
-        neardup_banded,
+        eval_band_index,
     )
 
-    # PIN the standing eval band index (the dedup_admit_stream rule:
-    # a stream-static join re-evaluates the static side EVERY
-    # micro-batch — unpinned, that is the corpus-wide banding pass per
-    # batch). Eager, at the caller's full batch width. In production
-    # this is the persisted benchmark index; the pin is its
-    # session-local stand-in.
-    eval_post = (
-        neardup_banded(spark, sf_dir)
-        .where((F.col("vec_id") % EVAL_MOD) == F.lit(EVAL_REM))
-        .select(
-            "band_id",
-            "band_key",
-            "sub_key",
-            F.col("vec_id").alias("eval_id"),
-            F.col("v").alias("ev"),
-        )
-        .withColumn("enrm", _norm("ev"))
-        .localCheckpoint()
-    )
-    planes, need_bits, ext_bits = _banding_model(spark, sf_dir)
+    if model is None:
+        model = _banding_model(spark, sf_dir)
+    if eval_post is None:
+        # PIN the standing eval band index (the dedup_admit_stream
+        # rule: a stream-static join re-evaluates the static side
+        # EVERY micro-batch — unpinned, that is the corpus-wide
+        # banding pass per batch). Eager, at the caller's full batch
+        # width. In production this is the persisted benchmark index;
+        # the pin is its session-local stand-in.
+        eval_post = eval_band_index(spark, sf_dir, model=model)
+        eval_post = eval_post.localCheckpoint()
+    planes, need_bits, ext_bits = model
     probe = (
         _band_postings(new_vecs, planes, need_bits, ext_bits, with_vec=True)
         .withColumnRenamed("v", "sv")

@@ -95,6 +95,14 @@ QUERIES = [
     # its sweep slot only after a scale surprise; start this one
     # measured). First decade only: not a SECOND_POINT member.
     "q121_decontaminate_stream",
+    # r12 (judge r11 #6): the other two r11 additions join measured —
+    # q119 rides q25's banded posting list with a mixed-bucket work
+    # integral recorded per decade (work bounded by q25's gated
+    # pairs); q120's K is fixed so wall is ~linear-in-rows under the
+    # plain backstop (its sf0.1 cost is plan-time collects + codegen,
+    # constants that amortize — the ratios prove it).
+    "q119_semantic_decontaminate",
+    "q120_kmeans_embeddings",
 ]
 
 # The most expensive + the past super-linear watch list (q105's 6.6x
@@ -137,6 +145,9 @@ SECOND_POINT = [
     # while its embedding twin q72 is four-decade-proven; the CC
     # family's batch representative joins the full ladder.
     "q53_dedup_clusters",
+    # r12: the r11 additions' first decades (judge r11 #6).
+    "q119_semantic_decontaminate",
+    "q120_kmeans_embeddings",
 ]
 
 # Fourth-decade subset (r10): the streaming plane's three certified
@@ -373,8 +384,41 @@ def _q105_density(spark, d: str) -> dict[str, int]:
     return {"work_pairs": int(w or 0)}
 
 
+def _q119_density(spark, d: str) -> dict[str, int]:
+    """q119's scored-work integral: Σ_buckets |E|·|C| over mixed
+    buckets of the banded posting list (the EXACT cross-pair count
+    the decontamination scorer evaluates — strictly ≤ q25's C(m,2)
+    bucket integral), plus the contaminated-vector count as output.
+    One aggregate over the posting list + the query's own count."""
+    from pyspark.sql import functions as F
+
+    from rime_wanxiang_logger_spark.operators.similarity import (
+        EVAL_MOD,
+        EVAL_REM,
+        neardup_banded,
+        q119_semantic_decontaminate,
+    )
+
+    per = (
+        neardup_banded(spark, d)
+        .groupBy("band_id", "band_key", "sub_key")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("vec_id") % EVAL_MOD) == EVAL_REM, 1
+                ).otherwise(0)
+            ).alias("ne"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = per.agg(F.sum(F.expr("ne * (n - ne)")).alias("w")).collect()[0]["w"]
+    out = q119_semantic_decontaminate(spark, d).count()
+    return {"work_pairs": int(w or 0), "out_pairs": int(out)}
+
+
 DENSITY_PROBES = {
     "q25_embedding_neardup": _q25_density,
+    "q119_semantic_decontaminate": _q119_density,
     "q93_edit_verify": _cand_pair_density,
     "q97_containment": _cand_pair_density,
     # r11: q53's CC closure runs over the same uncapped candidate-pair

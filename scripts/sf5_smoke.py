@@ -43,6 +43,9 @@ if "--only" in _ARGS:
     i = _ARGS.index("--only")
     ONLY = _ARGS[i + 1 :]
     _ARGS = _ARGS[:i]
+    # ADVICE r11: an empty --only would silently run nothing and
+    # still rewrite the artifact
+    assert ONLY, "--only requires at least one query name"
 SF_DIR = _ARGS[0] if _ARGS else "/tmp/sf5"
 
 
@@ -82,16 +85,26 @@ def main() -> None:
     path = os.path.abspath(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "sf5_smoke.json"
     ))
+    sf_dir_out = SF_DIR
     if ONLY is not None and os.path.exists(path):
         # targeted mode: merge the re-run rows over the standing
-        # artifact (replacing each re-run query's row wholesale)
-        standing = json.load(open(path))["queries"]
+        # artifact (replacing each re-run query's row wholesale).
+        # ADVICE r11: preserve the standing run's top-level sf_dir —
+        # it describes the bulk of the rows; targeted rows record
+        # their own sf_dir only when it differs, keeping provenance
+        # unambiguous either way.
+        prior = json.load(open(path))
+        standing = prior["queries"]
+        if prior.get("sf_dir") and prior["sf_dir"] != SF_DIR:
+            for row in out.values():
+                row["sf_dir"] = SF_DIR
+            sf_dir_out = prior["sf_dir"]
         standing.update(out)
         out = standing
         failures = sum(1 for v in out.values() if not v["ok"])
     with open(path, "w") as f:
         json.dump(
-            {"sf_dir": SF_DIR, "n": len(out), "failures": failures,
+            {"sf_dir": sf_dir_out, "n": len(out), "failures": failures,
              "queries": out},
             f, indent=1,
         )

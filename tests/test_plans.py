@@ -1642,14 +1642,33 @@ def test_corpus_proportional_pin_joins_never_broadcast(spark, sf_dir):
     for name, fn in sorted(candidates.items()):
         src = inspect.getsource(fn)
         if ".writeStream" in src:
-            # calling a streaming wrapper runs a full drain; safe to
-            # skip only because its TRANSITIVE function closure is
-            # pin-free — own source, module globals it names, and the
-            # locally-imported twin helpers (ADVICE r10: the former
-            # own-source-only check would miss a pin-consuming batch
-            # helper called from the wrapper)
+            # calling a streaming wrapper runs a full drain, so the
+            # audit can't execute it. Two sound cases (r12): a
+            # TRANSITIVELY pin-free closure — own source, module
+            # globals it names, and the locally-imported twin helpers
+            # (ADVICE r10) — needs no audit; a closure that DOES
+            # consume a pin must declare its batch static side in the
+            # module's STREAM_STATIC_AUDIT registry (extensions.py),
+            # and that pre-checkpoint batch plan gets the identical
+            # no-broadcast check every batch consumer gets (the
+            # wrapper only adds the plan cut + the stream side, which
+            # cannot reintroduce a static broadcast of the pin scan).
             bad = _pin_call_sites(fn, call_re)
-            assert not bad, (name, bad)
+            if bad:
+                import sys as _sys
+
+                hook = getattr(
+                    _sys.modules[fn.__module__], "STREAM_STATIC_AUDIT", {}
+                ).get(name)
+                assert hook is not None, (name, bad)
+                trace = []
+                with stage_trace(trace):
+                    sdf = hook(spark, sf_dir)
+                if any(STAGES[s]["size"] == "corpus" for s in trace):
+                    traced[name] = sorted(set(trace))
+                    hit = sorted(set(broadcast_pin_scans(sdf, sigs)))
+                    if hit:
+                        flagged[name] = hit
             continue
         trace: list[str] = []
         with stage_trace(trace):
