@@ -24,6 +24,16 @@ from rime_wanxiang_logger_spark.operators import all_queries  # noqa: E402
 from rime_wanxiang_logger_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed 10^7-iteration single-thread loop — the
+    host-speed calibration constant stamped into bench_full.json."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -33,6 +43,12 @@ def main() -> None:
     # the timed passes makes band-vs-regression adjudication
     # mechanical instead of narrative.
     loadavg_before = list(os.getloadavg())
+    # r12: loadavg misses CO-TENANT throttling (measured: single-core
+    # throughput dropped 5-8x mid-round at loadavg ~0 from our side).
+    # A fixed Python loop calibrates the host's effective single-core
+    # speed; compare cpu_probe fields across rounds before comparing
+    # walls. ~0.7 s on this host unthrottled.
+    cpu_probe_before = _cpu_probe()
     spark = get_spark("rime-wanxiang-bench")
 
     # Warm up the JVM / parquet footer caches with an untimed scan of
@@ -161,6 +177,11 @@ def main() -> None:
         # passes — >~2.0 before means the band comparison is suspect.
         "loadavg_before": [round(x, 2) for x in loadavg_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # single-core calibration loop (see _cpu_probe): ~0.7 s
+        # unthrottled on this host; a multiple of that means the
+        # walls are inflated by co-tenancy, not plans.
+        "cpu_probe_before": cpu_probe_before,
+        "cpu_probe_after": _cpu_probe(),
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
