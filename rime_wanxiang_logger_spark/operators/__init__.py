@@ -250,31 +250,18 @@ def _derive_verified_rounds(
 #     provider-invariant (parity tests + sf0.01 oracle re-pass), but
 #     the executed runtime changed — requeued out of caution.
 _REQUEUE: dict[str, int] = {
-    # (r11's five re-queues — q25/q72/q105/q117 keys-only+SHJ, q52
-    # vectorized fold — all expired: CORRECTNESS_r11.json carries
-    # green rows that outrank the `: 10` entries. Pruned per the
-    # round-open checklist.)
+    # (r12's seven re-queues — q105/q117 salted anti-join, q25/q119/
+    # q121 banded_postings sharing, q52 null-text guard — all
+    # expired: CORRECTNESS_r12.json carries green rows that outrank
+    # the `: 11` entries. Pruned per the round-open checklist.)
     #
-    # r12: the over-cap membership joins inverted + salted (the
-    # FP_SALTS note in policy.py — the r11 verdict's one named-but-
-    # unlanded scale defect): postings now LEFT-ANTI-join the
-    # over-cap fp list on (fp, salt) instead of inner-joining the
-    # kept-fp verdict on bare fp. Value-identical (same kept set),
-    # but the executed plan changed.
-    "q105_winnow_overlap": 11,
-    "q117_winnow_cap_recall": 11,
-    # r12: banded_postings became a shared stage — q25 provides
-    # (raw plan unchanged, but the sharing-session result is now the
-    # pinned copy), q119 consumes it, and q121's eval index reads it
-    # batch-side with the banding model derived once per drain
-    # (ADVICE r11). Values unchanged; executed plans changed.
-    "q25_embedding_neardup": 11,
-    "q119_semantic_decontaminate": 11,
-    "q121_decontaminate_stream": 11,
-    # r12: the vectorized winnow fold gained the NULL/empty-text
-    # guard (ADVICE r11 — latent-only on this corpus, executor code
-    # changed).
-    "q52_winnowing": 11,
+    # r13: _drop_overcap_fps gained the explicit NULL-fp filter
+    # (ADVICE r12 — the LEFT ANTI kept NULL fps where the inner joins
+    # it replaced dropped them; latent-only on this corpus, whose fps
+    # are non-null by construction). Value-identical, but the
+    # executed plan grew a Filter node.
+    "q105_winnow_overlap": 12,
+    "q117_winnow_cap_recall": 12,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

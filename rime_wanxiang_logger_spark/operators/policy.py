@@ -160,8 +160,15 @@ def _drop_overcap_fps(fps: DataFrame, over: DataFrame) -> DataFrame:
     cap-bounded cardinality × FP_SALTS); the stats-based alternative
     is poisoned the same way as every q52_fps consumer (checkpoint
     originStats understate the posting list by orders of magnitude).
+
+    NULL fps are dropped explicitly: the inner joins this anti-join
+    replaced discarded them implicitly (NULL never equi-matches), but
+    LEFT ANTI would KEEP them (NULL never matches the over-cap side
+    either), silently bypassing the cap for any future producer that
+    emits NULL fingerprints. Today's producers are non-null by
+    construction (q52's null-text guard), so the filter is free.
     """
-    salted = fps.withColumn(
+    salted = fps.where(F.col("fp").isNotNull()).withColumn(
         "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(FP_SALTS)).cast("int")
     )
     over_s = over.select(

@@ -788,6 +788,17 @@ def eval_band_index(
     into :func:`..streaming.twin.decontaminate_stream`. Pass ``model``
     when the caller already ran :func:`_banding_model` (the probe
     needs the same one) so a cache-miss rebuild sizes the corpus once.
+
+    Footprint note (ADVICE r12): on a NON-sharing (standalone) call,
+    consume() lazily localCheckpoints the FULL banded posting list —
+    bands × corpus rows × the 64-dim vector — before the eval filter,
+    where pre-r12 standalone q119/q121 checkpointed only the eval
+    subset or nothing. Accepted trade, same class as every q52_fps
+    consumer: the pin's cost is the price of the shared stage, and the
+    sharing session (q25 + q119 + q121 reading one pin) is the normal
+    driver/bench path. At large SF a deliberately standalone caller
+    can pre-filter to eval vectors and band those alone — but that
+    plan rebuilds the banding model and forfeits the share.
     """
     banded = consume(
         spark,

@@ -148,6 +148,11 @@ SECOND_POINT = [
     # r12: the r11 additions' first decades (judge r11 #6).
     "q119_semantic_decontaminate",
     "q120_kmeans_embeddings",
+    # r13 (judge r12 #4): the streaming decontamination drain extends
+    # to sf5/sf20 — its state_rows + drained-verdict demand rider
+    # (RECORD_ROWS) record at each point, so the demand-gated state
+    # ceiling rests on three decades instead of one.
+    "q121_decontaminate_stream",
 ]
 
 # Fourth-decade subset (r10): the streaming plane's three certified
@@ -169,6 +174,11 @@ FOURTH_POINT = [
     # winnowing representative (sf20 wall 134 s, affordable once).
     "q72_semantic_dedup",
     "q105_winnow_overlap",
+    # r13 (judge r12 #4): q119's sf80 point completes the family the
+    # shared banded_postings pin serves (q25/q72 already four-decade);
+    # its work integral (DENSITY_PROBES) records alongside, so the
+    # wall stays gated by measured mixed-bucket work, not data growth.
+    "q119_semantic_decontaminate",
     # r11b: after the shuffle-hash posting-join fix, q117 (q105's
     # calibration twin — same joins at the 10x cap) completes the
     # winnowing family's sf80 coverage. q53 stays three-decade: its
@@ -458,6 +468,33 @@ DENSITY_PROBES = {
     "q105_winnow_overlap": _q105_density,
 }
 
+def _cpu_probe() -> float:
+    """bench.py's host-speed calibration loop, stamped per timed
+    point (judge r12 #7): this host suffers CO-TENANT CPU throttling
+    invisible to loadavg (measured r12: single-core throughput down
+    5-8x at loadavg ~0 from our side — it OOM-cascaded one sf80 sweep
+    and contaminated q117's clean A/B, 6.9x throttled vs 4.6x
+    stable). ~0.7 s nominal under shell python3, ~0.41 s under the
+    repo's pyenv. Ratios WITHIN one session mostly cancel a steady
+    throttle, but a point whose before/after probes disagree caught a
+    throttle EDGE mid-measurement — its wall is garbage."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
+#: A decade point whose before/after probes disagree by more than
+#: this is auto-flagged (probe_flag_<label>) and enqueued for the
+#: same fresh-JVM clean A/B the near-gate ratios get — making the r12
+#: throttle incident a mechanical precondition instead of a narrative
+#: caveat. The clean A/B stamps its own probes (clean_probe_<label>)
+#: so a still-throttled re-measure is visible rather than silently
+#: recorded as the adjudication.
+PROBE_DISAGREE = 1.5
+
+
 # Near-gate sweep points are session noise until proven otherwise
 # (judge r8 #6: q105 measured 5.9x in-sweep vs 3.5x standalone, q25
 # 6.6x vs 2.3x — both needed manual fresh-JVM A/Bs). Any sf5/sf20
@@ -513,11 +550,15 @@ def clean_ab(name: str, prev_dir: str, cur_dir: str) -> None:
         for p in sorted(glob.glob(f"{d}/*.parquet")):
             spark.read.parquet(p).count()
     _timed(spark, fn, prev_dir, name)  # JVM/codegen warmup, untimed
+    pb = _cpu_probe()
     prev_wall = _timed(spark, fn, prev_dir, name)
+    pm = _cpu_probe()
     cur_wall = _timed(spark, fn, cur_dir, name)
+    pa = _cpu_probe()
     print(
         "CLEAN_AB " + json.dumps(
-            {"name": name, "prev": prev_wall, "cur": cur_wall}
+            {"name": name, "prev": prev_wall, "cur": cur_wall,
+             "probe": [pb, pm, pa]}
         ),
         flush=True,
     )
@@ -552,9 +593,11 @@ def main(only: list[str] | None = None) -> None:
         out[name] = row
         try:
             for key, d in (("sf01", SF01), ("sf1", SF1)):
+                pb = _cpu_probe()
                 row[key] = _timed(
                     spark, fn, d, name, row, label=key, state_cap=state_cap
                 )
+                row.setdefault("probe", {})[key] = [pb, _cpu_probe()]
         except Exception as ex:  # record-and-continue (r10: a crashed
             # query used to discard the WHOLE sweep — the artifact is
             # only written at the end; the gate fails on FAILED rows)
@@ -593,6 +636,7 @@ def main(only: list[str] | None = None) -> None:
             if name not in out or prev not in out[name]:
                 continue
             fn = funcs[name]
+            pb = _cpu_probe()
             try:
                 wall = _timed(
                     spark, fn, d, name, out[name], label=label,
@@ -605,6 +649,8 @@ def main(only: list[str] | None = None) -> None:
                 print(f"{name:28s} FAILED at {label}: "
                       f"{out[name][f'failed_{label}']}", flush=True)
                 continue
+            pa = _cpu_probe()
+            out[name].setdefault("probe", {})[label] = [pb, pa]
             out[name][label] = wall
             ratio = round(wall / out[name][prev], 1)
             out[name][f"ratio_{label}"] = ratio
@@ -613,7 +659,12 @@ def main(only: list[str] | None = None) -> None:
                 f"{wall:8.2f}s   ratio {ratio:6.1f}x ({factor} data)",
                 flush=True,
             )
-            if ratio > CLEAN_AB_THRESHOLD:
+            throttled = max(pb, pa) / min(pb, pa) > PROBE_DISAGREE
+            if throttled:
+                out[name][f"probe_flag_{label}"] = True
+                print(f"{name:28s} PROBE FLAG at {label}: {pb} -> {pa}",
+                      flush=True)
+            if ratio > CLEAN_AB_THRESHOLD or throttled:
                 flagged.append((name, prev_dir, d, label))
 
     spark.stop()
@@ -651,6 +702,14 @@ def main(only: list[str] | None = None) -> None:
         ab = json.loads(line[len("CLEAN_AB "):])
         out[name][f"clean_{label}"] = ab["cur"]
         out[name][f"clean_ratio_{label}"] = round(ab["cur"] / ab["prev"], 1)
+        probes = ab.get("probe")
+        if probes:
+            out[name][f"clean_probe_{label}"] = probes
+            if max(probes) / min(probes) > PROBE_DISAGREE:
+                # the adjudication itself rode a throttle edge — keep
+                # the number but mark it so nobody reads it as stable
+                out[name][f"clean_probe_flag_{label}"] = True
+                print(f"clean A/B PROBE FLAG: {name} {probes}", flush=True)
         print(
             f"{name:28s} clean {label}: {ab['prev']:.2f}s -> {ab['cur']:.2f}s"
             f"   clean ratio {out[name][f'clean_ratio_{label}']:.1f}x",

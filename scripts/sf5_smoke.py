@@ -95,10 +95,15 @@ def main() -> None:
         # unambiguous either way.
         prior = json.load(open(path))
         standing = prior["queries"]
-        if prior.get("sf_dir") and prior["sf_dir"] != SF_DIR:
+        if prior.get("sf_dir") != SF_DIR:
+            # ADVICE r12: a MISSING prior sf_dir also counts as
+            # "differs" — stamping this targeted run's dir over the
+            # standing rows would mislabel where the bulk of them
+            # were produced. Annotate the re-run rows and keep the
+            # top level at the prior value (possibly null).
             for row in out.values():
                 row["sf_dir"] = SF_DIR
-            sf_dir_out = prior["sf_dir"]
+            sf_dir_out = prior.get("sf_dir")
         standing.update(out)
         out = standing
         failures = sum(1 for v in out.values() if not v["ok"])

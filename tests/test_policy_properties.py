@@ -227,3 +227,26 @@ def test_q118_admit_cap_invariants_and_q86_consistency(spark, sf_dir):
     assert row.n_dup_cal == q86["d"]
     assert row.n_pairs_cal == q86["p"]
     assert row.n_new == q86["n"]
+
+
+def test_drop_overcap_fps_null_and_cap_semantics(spark):
+    """_drop_overcap_fps must match the inner joins it replaced on
+    NULL fingerprints (ADVICE r12): an inner equi-join silently DROPS
+    NULL keys, but a bare LEFT ANTI would KEEP them (NULL matches
+    nothing on the over-cap side either), letting any future NULL-fp
+    producer bypass the df cap. Pin all three behaviors: NULL fp
+    dropped, over-cap fp dropped, in-cap survivor kept intact."""
+    from rime_wanxiang_logger_spark.operators.policy import (
+        _drop_overcap_fps,
+    )
+
+    fps = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 99), (4, 99)],
+        "doc_id bigint, fp bigint",
+    )
+    over = spark.createDataFrame([(99,)], "fp bigint")
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in _drop_overcap_fps(fps, over).collect()
+    }
+    assert got == {(2, 5)}, got
