@@ -240,16 +240,44 @@ def _key(spark: SparkSession, name: str, sf_dir: str) -> tuple[str, str, str]:
 CHECKPOINT_DIR_CONF = "spark.rime_wanxiang_logger_spark.stageCheckpointDir"
 
 
-def _pin(spark: SparkSession, df: DataFrame, *, eager: bool) -> DataFrame:
+def _ckpt_level(name: str):
+    """Storage level for ``name``'s checkpoint blocks, by size class.
+
+    Corpus-proportional stages go DISK_ONLY (r13): a corpus-width
+    localCheckpoint in the default MEMORY_AND_DISK_DESER level parks
+    one wrapper object per row in the unified pool's PROTECTED storage
+    half, so the moment the stage outgrows storage memory the block
+    manager churns evictions against every downstream hash aggregate —
+    measured as q105's sf80 memory cliff (the 437M-row q52_fps
+    checkpoint vs a 16 GB heap: 2.7× super-linear wall, and one
+    UNABLE_TO_ACQUIRE_MEMORY abort in the r13 sweep). DISK_ONLY
+    serializes UnsafeRows to their compact binary form, bounds the
+    heap at ANY corpus size, and small inputs never reach physical
+    disk (the OS page cache absorbs them) — the same posture as the
+    reliable-``checkpoint()`` route the CHECKPOINT_DIR_CONF knob picks
+    on a cluster, where corpus-width intermediates also never live in
+    executor heap. Driver-sized stages (top-k, bounds, centroids —
+    KB–MB by construction) keep the default memory level."""
+    if STAGES.get(name, {}).get("size") == "corpus":
+        from pyspark import StorageLevel
+
+        return StorageLevel.DISK_ONLY
+    return None
+
+
+def _pin(
+    spark: SparkSession, name: str, df: DataFrame, *, eager: bool
+) -> DataFrame:
     """Materialize-and-cut ``df`` for pinning: reliable ``checkpoint()``
-    when :data:`CHECKPOINT_DIR_CONF` is set, else ``localCheckpoint()``.
+    when :data:`CHECKPOINT_DIR_CONF` is set, else ``localCheckpoint()``
+    at the stage's size-class storage level (:func:`_ckpt_level`).
 
     The conf is read per-pin (not cached) so a session can switch modes;
     the SparkContext checkpoint dir is (re)pointed only when the conf
     value changed, since ``setCheckpointDir`` is context-global."""
     ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
     if not ckpt_dir:
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=eager, storageLevel=_ckpt_level(name))
     global _CKPT_DIR_SET
     ctx_key = (spark.sparkContext.applicationId, ckpt_dir)
     if _CKPT_DIR_SET != ctx_key:
@@ -300,7 +328,7 @@ def provide(
     df = build()
     if not _ACTIVE:
         return df
-    pinned = _pin(spark, df, eager=False)
+    pinned = _pin(spark, name, df, eager=False)
     _STORE[_key(spark, name, sf_dir)] = pinned
     return pinned
 
@@ -338,7 +366,9 @@ def consume(
     if _TRACE is not None:
         _TRACE.append(name)
     if not _ACTIVE:
-        return build().localCheckpoint(eager=False)
+        return build().localCheckpoint(
+            eager=False, storageLevel=_ckpt_level(name)
+        )
     key = _key(spark, name, sf_dir)
     got = _STORE.get(key)
     if got is not None:
@@ -350,6 +380,6 @@ def consume(
     # same key — reuse it rather than double-checkpointing
     got = _STORE.get(key)
     if got is None:
-        got = _pin(spark, df, eager=True)
+        got = _pin(spark, name, df, eager=True)
         _STORE[key] = got
     return got

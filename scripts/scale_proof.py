@@ -505,10 +505,37 @@ PROBE_DISAGREE = 1.5
 CLEAN_AB_THRESHOLD = 5.0
 
 
+def _release_orphan_blocks(spark) -> None:
+    """Unpersist every persistent RDD before a timed point. A raw
+    (non-sharing) sweep legitimately persists NOTHING across queries —
+    every cached block between timed points is an orphaned consume()
+    ``localCheckpoint`` waiting on the ContextCleaner, which only runs
+    when BOTH the Python proxy and the JVM RDD object happen to be
+    GC'd. localCheckpoint blocks are MEMORY_AND_DISK in the unified
+    pool's PROTECTED storage half (spark.memory.storageFraction), so a
+    multi-query multi-decade session accretes dead checkpoints that
+    execution memory cannot evict — the q105 sf80
+    UNABLE_TO_ACQUIRE_MEMORY failure (r13: q119's density probes +
+    q121's drains + q117's sf80 ladder in one session left >storage-
+    fraction of the 16g heap held by garbage when q105's hash
+    aggregate asked for pages). Explicit unpersist + a GC nudge on
+    both sides makes each timed point start from a clean block
+    manager, which is also the honest warm-vs-warm semantic (JVM/
+    codegen/page-cache warm — not \"competing with the previous
+    point's garbage\")."""
+    import gc
+
+    gc.collect()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.sparkContext._jvm.System.gc()
+
+
 def _timed(
     spark, fn, d: str, name: str, row: dict | None = None,
     label: str | None = None, state_cap: _StateCapture | None = None,
 ) -> float:
+    _release_orphan_blocks(spark)
     if state_cap is not None and name in STREAM_STATE:
         state_cap.reset()
     t0 = time.perf_counter()
