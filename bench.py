@@ -92,9 +92,25 @@ def main() -> None:
     # it ran (providers always do; consumers on a cold pin too).
     timings: dict[str, float] = {}
     consumed: dict[str, list[str]] = {}
+    # Mid-run probe trace (r13): the before/after cpu_probe endpoints
+    # cannot see a co-tenant throttle TRANSIENT inside the ~10-min
+    # timed window — the r13 idle bench read q16-q20 at 2-4x their
+    # bands with healthy endpoint probes, and a controlled fresh-JVM
+    # replication (probe-clean) refuted every code/position
+    # hypothesis, leaving exactly the mid-run throttle class the scale
+    # sweep's per-point probes catch (0.377 -> 1.746 within one
+    # decade point that same session). One untimed probe every
+    # PROBE_EVERY queries (~0.4 s each, outside all query timers)
+    # makes that transient mechanical: a wobbling probe_trace marks
+    # the run's per-query numbers as throttle-contaminated without
+    # endpoint probes having to catch the edge.
+    PROBE_EVERY = 25
+    probe_trace: list[float] = []
     with sharing():
         for _pass in range(2):
-            for name, fn in all_queries().items():
+            for i, (name, fn) in enumerate(all_queries().items()):
+                if i % PROBE_EVERY == 0:
+                    probe_trace.append(_cpu_probe())
                 reads: list[str] = []
                 t0 = time.perf_counter()
                 with recording(reads):
@@ -105,6 +121,7 @@ def main() -> None:
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
                     consumed[name] = sorted(set(reads))
+    probe_trace.append(_cpu_probe())
 
     total = round(sum(timings.values()), 4)
 
@@ -182,6 +199,10 @@ def main() -> None:
         # walls are inflated by co-tenancy, not plans.
         "cpu_probe_before": cpu_probe_before,
         "cpu_probe_after": _cpu_probe(),
+        # one probe per PROBE_EVERY queries through the two timed
+        # passes (see the loop note): wobble here = mid-run throttle,
+        # even when the endpoint probes above read healthy.
+        "cpu_probe_trace": probe_trace,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
