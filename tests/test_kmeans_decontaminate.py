@@ -117,6 +117,27 @@ def test_q120_final_plan_is_shuffle_free_jvm_projection(spark, sf_dir):
         assert marker not in plan
 
 
+def test_q120_assignment_stays_hof_not_unrolled(spark, sf_dir):
+    """Compile-cost pin (r13): the centroid distance must stay the
+    compact zip_with/aggregate fold. The pre-r13 form unrolled
+    EMBED_DIM literal-CAST terms per centroid (~1k expression nodes
+    per assignment), costing ~3.5 s of Janino compile per run at ANY
+    scale; a revert would pass every value test and only show up as a
+    bench regression. The fold's IEEE order equals the oracle's
+    left-assoc column chain, so this shape is also the parity
+    contract."""
+    plan = (
+        q120_kmeans_embeddings(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "aggregate(zip_with(" in plan
+    # the unrolled form carried 2 casts per dim per centroid — several
+    # hundred; the HOF plan has single-digit incidental casts
+    assert plan.count("cast(") < 50, plan.count("cast(")
+
+
 def test_q119_threshold_boundary_kept(spark, sf_dir):
     """Pairs exactly AT the threshold are kept (>= semantics, both
     engines round to 9 dp before comparing)."""
