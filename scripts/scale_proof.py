@@ -4,8 +4,10 @@ at both scales (sf1 synthesized by scripts/make_sf1.py) and print the
 per-query wall-clock scaling ratio. Facts grow 10×, so a shuffle/scan-
 bound query should land well under 10× on a machine with spare cores;
 anything far above ~10× is super-linear and needs investigation
-(q53/q72's CC rounds, q25's governor, q81's Expand are the watch
-list — r4 VERDICT "next round" #5).
+(q53/q72's CC rounds and q25's governor are the watch list — r4
+VERDICT "next round" #5; q81's countDistinct Expand, the original
+third member, was retired in r13 by the union-of-two-level-aggregates
+profile — its re-recorded ladder reads 1.0/1.8/2.0× per decade).
 
 Run:  python scripts/make_sf1.py && python scripts/scale_proof.py
 Writes scale_proof.json next to this script.
