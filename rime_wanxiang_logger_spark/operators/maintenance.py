@@ -78,7 +78,11 @@ def _profile_branch(li: DataFrame, c: str) -> DataFrame:
     )
     return g.agg(
         F.lit(c).alias("col_name"),
-        F.sum("cnt").alias("n_rows"),
+        # coalesce: SUM over zero groups is NULL, but the contract (and
+        # the oracle's COUNT(*)) is 0 on an empty table.
+        F.coalesce(
+            F.sum("cnt"), F.lit(0).cast("bigint")
+        ).alias("n_rows"),
         F.coalesce(
             F.sum(F.when(F.col("val").isNull(), F.col("cnt"))),
             F.lit(0).cast("bigint"),

@@ -133,6 +133,11 @@ def test_q120_assignment_stays_hof_not_unrolled(spark, sf_dir):
         .toString()
     )
     assert "aggregate(zip_with(" in plan
+    # Direct negative pin on the unrolled signature itself (not just
+    # formatting artifacts): the pre-r13 form subscripted every dim of
+    # every centroid, so `[63]` (the last EMBED_DIM index) appeared per
+    # centroid; the HOF fold never materializes a per-dim subscript.
+    assert "[63]" not in plan
     # the unrolled form carried 2 casts per dim per centroid — several
     # hundred; the HOF plan has single-digit incidental casts
     assert plan.count("cast(") < 50, plan.count("cast(")
