@@ -122,6 +122,19 @@ def main() -> None:
                     timings[name] = dt
                     consumed[name] = sorted(set(reads))
     probe_trace.append(_cpu_probe())
+    # Mechanical contamination verdict (judge r13 #7): the scale
+    # sweep's PROBE_DISAGREE rule applied to the trace — any two
+    # probes across the timed window disagreeing by more than 1.5x
+    # stamps the run contaminated, so the r13 round-open incident
+    # class ("wobble => throttled" as narrative) is self-labeling. A
+    # flagged run's per-query walls must not adjudicate movers; rerun
+    # when the trace is flat.
+    PROBE_DISAGREE = 1.5
+    probe_flag = (
+        len(probe_trace) >= 2
+        and max(probe_trace) / max(min(probe_trace), 1e-9)
+        > PROBE_DISAGREE
+    )
 
     total = round(sum(timings.values()), 4)
 
@@ -203,6 +216,10 @@ def main() -> None:
         # passes (see the loop note): wobble here = mid-run throttle,
         # even when the endpoint probes above read healthy.
         "cpu_probe_trace": probe_trace,
+        # True when any two trace probes disagree > PROBE_DISAGREE
+        # (1.5x): the run's walls are throttle-contaminated and must
+        # not adjudicate movers (see the probe_flag note above).
+        "probe_flag": probe_flag,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
