@@ -624,6 +624,23 @@ def test_q81_profile_no_expand_one_column_per_branch(spark, sf_dir):
     assert all(len(cols) == 1 for cols in scans), scans
 
 
+def test_profile_branch_empty_table_contract(spark):
+    """ADVICE r13: _profile_branch on an EMPTY table must yield
+    n_rows = 0 (the oracle's COUNT(*) and the pre-r13 single-scan
+    shape both did) — the two-level rewrite's global SUM over zero
+    groups silently yielded NULL until the r14 coalesce."""
+    from rime_wanxiang_logger_spark.operators.maintenance import (
+        _profile_branch,
+    )
+
+    empty = spark.range(0).selectExpr("cast(id as double) as l_quantity")
+    row = _profile_branch(empty, "l_quantity").collect()[0]
+    assert row["n_rows"] == 0
+    assert row["n_nulls"] == 0
+    assert row["n_distinct"] == 0
+    assert row["min_val"] is None and row["max_val"] is None
+
+
 def test_q82_cdc_merge_single_shuffle_no_join(spark, sf_dir):
     """MERGE-as-aggregate: one shuffle on user_id, no join, no window
     anywhere — the struct-MAX formulation."""
