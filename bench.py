@@ -34,6 +34,26 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+#: Any two trace probes disagreeing by more than this stamps the run
+#: contaminated (the scale sweep's PROBE_DISAGREE rule applied to the
+#: bench trace — judge r13 #7: the r13 round-open incident class
+#: ("wobble => throttled" as narrative) becomes self-labeling). A
+#: flagged run's per-query walls must not adjudicate movers; rerun
+#: when the trace is flat. Sub-flag drift matters too: the two r14
+#: passes measured a uniform ~1.15x median wall inflation with trace
+#: ratios 1.47/1.35 — below the flag — so the RATIO itself is
+#: recorded for adjudication even when the boolean stays False.
+PROBE_DISAGREE = 1.5
+
+
+def _trace_verdict(trace: list[float]) -> tuple[float, bool]:
+    """(max/min ratio, contaminated?) for a cpu-probe trace."""
+    if len(trace) < 2:
+        return 1.0, False
+    ratio = round(max(trace) / max(min(trace), 1e-9), 3)
+    return ratio, ratio > PROBE_DISAGREE
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -122,19 +142,7 @@ def main() -> None:
                     timings[name] = dt
                     consumed[name] = sorted(set(reads))
     probe_trace.append(_cpu_probe())
-    # Mechanical contamination verdict (judge r13 #7): the scale
-    # sweep's PROBE_DISAGREE rule applied to the trace — any two
-    # probes across the timed window disagreeing by more than 1.5x
-    # stamps the run contaminated, so the r13 round-open incident
-    # class ("wobble => throttled" as narrative) is self-labeling. A
-    # flagged run's per-query walls must not adjudicate movers; rerun
-    # when the trace is flat.
-    PROBE_DISAGREE = 1.5
-    probe_flag = (
-        len(probe_trace) >= 2
-        and max(probe_trace) / max(min(probe_trace), 1e-9)
-        > PROBE_DISAGREE
-    )
+    trace_ratio, probe_flag = _trace_verdict(probe_trace)
 
     total = round(sum(timings.values()), 4)
 
@@ -216,9 +224,13 @@ def main() -> None:
         # passes (see the loop note): wobble here = mid-run throttle,
         # even when the endpoint probes above read healthy.
         "cpu_probe_trace": probe_trace,
-        # True when any two trace probes disagree > PROBE_DISAGREE
-        # (1.5x): the run's walls are throttle-contaminated and must
-        # not adjudicate movers (see the probe_flag note above).
+        # max/min over the trace, and True when it exceeds
+        # PROBE_DISAGREE (1.5x): the run's walls are
+        # throttle-contaminated and must not adjudicate movers (see
+        # the PROBE_DISAGREE note). The ratio is recorded even
+        # unflagged — sub-flag drift (r14: 1.47/1.35 traces carried a
+        # uniform ~1.15x wall inflation) adjudicates against it.
+        "cpu_probe_trace_ratio": trace_ratio,
         "probe_flag": probe_flag,
     }
     with open(

@@ -191,3 +191,18 @@ def test_closure_exempt_files_have_dedicated_contract_suites():
             f"{suite.name} has only {n_tests} test functions — too thin "
             f"to justify exempting {fname} from the hash closure"
         )
+
+
+def test_bench_trace_verdict():
+    """bench.py's mechanical contamination stamp (judge r13 #7): the
+    max/min trace ratio and the PROBE_DISAGREE boolean derived from
+    it. Short/flat traces are clean; any pair > 1.5x apart flags."""
+    from bench import PROBE_DISAGREE, _trace_verdict
+
+    assert PROBE_DISAGREE == 1.5
+    assert _trace_verdict([]) == (1.0, False)
+    assert _trace_verdict([0.4]) == (1.0, False)
+    ratio, flag = _trace_verdict([0.4, 0.41, 0.39])
+    assert not flag and ratio < 1.1
+    ratio, flag = _trace_verdict([0.4, 0.41, 0.62])
+    assert flag and ratio > 1.5
