@@ -89,10 +89,17 @@ _STORE: dict[tuple[str, str, str], DataFrame] = {}
 # bench_nosharing.json so provider/composition cost stays separable
 # across rounds (judge r5 next-round #7 / ADVICE r5 #3).
 STAGE_CONSUMERS = (
+    "q24_ngram_jaccard",  # r14: reads pinned q22 pairs + shingle sets
     "q44_ann_ivf",  # r8: reads the pinned IVF index (assign+centroids)
+    "q53_dedup_clusters",  # r14: CC starts from the pinned q22 pairs
     "q72_semantic_dedup",
+    "q79_pagerank",  # r14: power iteration over the pinned q22 pairs
     "q85_leakfree_split",
+    "q93_edit_verify",  # r14: levenshtein over the pinned q22 pairs
+    "q96_degree_stats",  # r14: degree histogram of the pinned q22 pairs
+    "q97_containment",  # r14: pinned q22 pairs + shingle sets
     "q98_survivor_policy",
+    "q103_lsh_calibration",  # r14: pinned q22 pairs + shingle sets
     "q105_winnow_overlap",  # r8: reads pinned q52 fingerprints
     "q111_ann_recall",
     "q116_curation_pipeline",
@@ -153,6 +160,21 @@ STAGES: dict[str, dict] = {
         "size": "corpus",
         "scan_sig": ("band_id", "band_key", "sub_key", "vec_id", "v"),
     },
+    # r14 (optimization round): the MinHash band-collision candidate
+    # pairs — the dedup pipeline's detect stage — were rebuilt inside
+    # EIGHT queries per session (q22/q24/q53/q79/q93/q96/q97/q103),
+    # each rebuild one full shingle→md5→minhash→band-join pass
+    # (~0.46 s at sf0.1, corpus-linear at scale). Provider q22; every
+    # other detect-stage reader consumes. At cluster scale this pin IS
+    # the persisted candidate table a dedup pipeline keeps (q22 doc).
+    "q22_pairs": {"size": "corpus", "scan_sig": ("doc_a", "doc_b")},
+    # r14: the hashed shingle SET per doc (collect_set of the 32-bit
+    # shingle hashes) — the verify stage's working set, previously
+    # computed three times inside q24 AND three more inside q97/q103
+    # (sha/shb/sizes branches each re-ran shingle+md5). One row per
+    # doc, array bounded by doc length — the same memory class as the
+    # doc text itself.
+    "q24_shingle_sets": {"size": "corpus", "scan_sig": ("doc_id", "hs")},
 }
 
 

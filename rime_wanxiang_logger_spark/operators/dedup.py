@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import fanout, load_table
-from ._stage_cache import provide
+from ._stage_cache import consume, provide
 
 N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
@@ -170,6 +170,56 @@ def _candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def _cand_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _candidate_pairs(_signatures(docs).localCheckpoint())
+
+
+def cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer handle on the shared ``q22_pairs`` stage (r14): the
+    MinHash band-collision candidate pairs. q22 is the provider (its
+    own bench row stays the honest detect cost and refreshes the pin);
+    the verify/graph stages (q24/q53/q79/q93/q96/q97/q103) read the
+    pin inside a sharing() scope instead of each re-running
+    shingle→md5→minhash→band-join. A raw call builds the full
+    documented plan. CORPUS-proportional (one row per candidate pair,
+    bounded by the banding governor) — consumers joining it directly
+    must pin the join strategy (_stage_cache STATS HAZARD)."""
+    return consume(
+        spark, "q22_pairs", sf_dir, lambda: _cand_pairs_build(spark, sf_dir)
+    )
+
+
+def _shingle_sets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _shingled(docs)
+        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer handle on the shared ``q24_shingle_sets`` stage (r14):
+    the hashed-shingle SET per doc as one array row (collect_set —
+    set semantics identical to the former per-row ``distinct()``, the
+    array order is irrelevant to every consumer: intersections and
+    cardinalities only). One aggregation pass replaces the three
+    separate shingle→md5 subtrees q24/q97/q103 each planned (sha, shb
+    and sizes branches), and the per-pair set intersection becomes a
+    JVM ``array_intersect`` over two array cells instead of a
+    shingle-row join — same values, no per-shingle shuffle. Array size
+    is bounded by doc length (the same memory class as the doc's own
+    ``text`` cell)."""
+    return consume(
+        spark,
+        "q24_shingle_sets",
+        sf_dir,
+        lambda: _shingle_sets_build(spark, sf_dir),
+    )
+
+
 def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs with signature-estimated Jaccard.
 
@@ -182,7 +232,12 @@ def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet stage table."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _signatures(docs).localCheckpoint()
-    pairs = _candidate_pairs(sig)
+    # r14: q22 PROVIDES the shared q22_pairs stage (always rebuilds —
+    # its own timing stays the honest detect cost — and refreshes the
+    # pin the verify/graph consumers read; _stage_cache doc).
+    pairs = provide(
+        spark, "q22_pairs", sf_dir, lambda: _candidate_pairs(sig)
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(N_HASHES)],
@@ -195,9 +250,13 @@ def q22_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
         for s in range(N_HASHES)
     )
+    # Join strategy pinned (STATS HAZARD): the pinned pair scan's
+    # originStats lie, and both sides are corpus-proportional — never
+    # a stats-driven broadcast. Shuffle-hash with the narrow
+    # one-row-per-doc signature side as build (the q117 posture).
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a", "doc_b", (agree / F.lit(N_HASHES)).alias("est_jaccard")
         )
@@ -306,52 +365,37 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard for the LSH candidate pairs (the
     verify stage over q22's blocked candidates).
 
-    The intersection joins on the 32-bit shingle hash, not the shingle
-    string: both engines derive h from the same md5, so the hashed set
-    intersection is deterministic and engine-identical (any 32-bit
-    collision collides identically on both sides), and the shuffle
-    moves 8-byte ints instead of ~25-byte strings — 12% at sf0.1,
-    proportionally more at real shingle cardinalities."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Candidates straight from the band join — q22's est_jaccard joins
-    # would be dead weight here (Catalyst can't prune inner joins whose
-    # key uniqueness it can't prove). Deliberately NOT checkpointed:
-    # the shingle table is the big intermediate (~200 rows/doc) and an
-    # A/B at sf0.1 shows materializing it costs more than the md5
-    # recompute it saves (1.9-2.1 s vs 1.5 s) — the hash stage is
-    # embarrassingly parallel while the checkpoint write serializes
-    # through local disk. At 100 TB, persist only the signatures and
-    # re-shingle the (much smaller) candidate-pair doc subset.
-    pairs = _candidate_pairs(_signatures(docs))
-    sh = (
-        _shingled(docs)
-        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
-        .select("doc_id", "h")
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
-    inter = (
-        pairs.join(sha, "doc_a")
-        .join(shb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    The intersection is computed on the 32-bit shingle hash, not the
+    shingle string: both engines derive h from the same md5, so the
+    hashed set intersection is deterministic and engine-identical (any
+    32-bit collision collides identically on both sides).
+
+    r14 shape: candidates from the shared ``q22_pairs`` pin, shingle
+    sets from the shared ``q24_shingle_sets`` pin (one array row per
+    doc), and the per-pair intersection is ``size(array_intersect)``
+    in the JVM. The former shape planned the shingle→md5 subtree THREE
+    times (sha, shb, sizes) and shuffled every surviving shingle ROW
+    through a 3-way join; this one computes shingles once, shuffles
+    one array row per doc, and does no per-shingle join at all — same
+    values (set intersection over the identical hashed sets), measured
+    2.32 → 0.78 s at sf0.1 with identical output. A pair always finds
+    both set rows: membership in ``pairs`` requires a signature, which
+    requires ≥1 shingle."""
+    pairs = cand_pairs(spark, sf_dir)
+    sets = shingle_sets(spark, sf_dir)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_i = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    # Both joins take a corpus pin scan directly — strategy pinned
+    # (STATS HAZARD): shuffle-hash, never a stats-driven broadcast.
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
-            (
-                F.coalesce("n_inter", F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0)))
-            ).alias("jaccard"),
+            n_i.alias("n_inter"),
+            (n_i / (F.size("hs_a") + F.size("hs_b") - n_i)).alias("jaccard"),
         )
     )
 

@@ -41,13 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..sources.readers import load_table
-from .dedup import (
-    _CAND_CTE,
-    _H32_SPARK,
-    _candidate_pairs,
-    _shingled,
-    _signatures,
-)
+from .dedup import _CAND_CTE, cand_pairs, shingle_sets
 
 TRIGRAM_MIN_COUNT = 5
 
@@ -58,9 +52,17 @@ def q93_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per pair: levenshtein distance and normalized similarity
     1 - d / max(len_a, len_b), rounded to 9 dp. The threshold decision
     is left to the caller (q24 precedent: the verify stage emits
-    scores, the curation policy cuts)."""
+    scores, the curation policy cuts).
+
+    r14: candidates from the shared ``q22_pairs`` pin (q22 provides; a
+    raw call builds the documented detect plan). The first text join
+    pins its strategy because the pin scan reaches it without an
+    intervening shuffle (STATS HAZARD): shuffle-hash with the NARROW
+    candidate side as build — the text side streams, nothing sorts a
+    text payload, never a stats-driven broadcast. The second join's
+    probe side is post-shuffle, so AQE plans it from real sizes."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_signatures(docs))
+    pairs = cand_pairs(spark, sf_dir)
     ta = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )
@@ -70,7 +72,8 @@ def q93_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.levenshtein("text_a", "text_b").cast("bigint")
     maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
     return (
-        pairs.join(ta, "doc_a")
+        pairs.hint("shuffle_hash")
+        .join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
@@ -127,44 +130,32 @@ def q97_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment ≈ 1 from the short side; this is the dedup signal for
     quote/excerpt/boilerplate-inclusion removal.
 
-    Same scale shape as q24 (verify-after-block, intersection joined
-    on the 32-bit shingle hash, deliberately un-checkpointed — see
-    q24's A/B note): work is linear in the candidate set, never
-    corpus²."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_signatures(docs))
-    sh = (
-        _shingled(docs)
-        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
-        .select("doc_id", "h")
-        .distinct()
+    Same scale shape as q24 (verify-after-block, work linear in the
+    candidate set, never corpus²). r14: both inputs come from the
+    shared stages — candidates from ``q22_pairs``, hashed shingle sets
+    from ``q24_shingle_sets`` — and the intersection is a JVM
+    ``array_intersect`` over two array cells (q24's r14 note: one
+    shingle pass instead of three, no per-shingle join, identical
+    values). Joins on the pin scans carry pinned strategies (STATS
+    HAZARD)."""
+    pairs = cand_pairs(spark, sf_dir)
+    sets = shingle_sets(spark, sf_dir)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
-    inter = (
-        pairs.join(sha, "doc_a")
-        .join(shb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
     )
-    na = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
-    nb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    )
-    n_i = F.coalesce("n_inter", F.lit(0))
+    n_i = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             n_i.alias("n_inter"),
-            (n_i / F.col("n_a")).alias("containment_a"),
-            (n_i / F.col("n_b")).alias("containment_b"),
+            (n_i / F.size("hs_a")).alias("containment_a"),
+            (n_i / F.size("hs_b")).alias("containment_b"),
         )
     )
 

@@ -60,7 +60,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import fanout, load_table
-from .dedup import _CAND_CTE, _candidate_pairs, _signatures
+from .dedup import _CAND_CTE, cand_pairs
 from .pipeline import pin_frontier
 
 #: q79 fixed-point scale (rank 1.0 == 10^9) and damping 85/100.
@@ -83,9 +83,13 @@ _POS_GRAMS_SPARK = (
 def q79_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 5 power iterations, integer-exact) over
     the symmetrized MinHash-LSH candidate graph of q22. Returns one row
-    per node: (doc_id, degree, rank_scaled, pagerank)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
+    per node: (doc_id, degree, rank_scaled, pagerank).
+
+    r14: the candidate graph comes from the shared ``q22_pairs`` pin
+    (q22 provides; a raw call builds the documented detect plan). The
+    pin feeds the symmetrizing union straight into a localCheckpoint —
+    no pre-shuffle join on the pin scan, no strategy hint needed."""
+    pairs = cand_pairs(spark, sf_dir)
     # Symmetrize and pin: every round re-reads edges and degrees.
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))

@@ -51,8 +51,7 @@ from .dedup import (
     _CAND_CTE,
     _SHINGLES_DUCK,
     _SHINGLES_SPARK,
-    _candidate_pairs,
-    _signatures,
+    cand_pairs,
 )
 
 TOKEN_BUDGET = 100_000  # target tokens for the mixture at this SF
@@ -119,9 +118,15 @@ def q95_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q96_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the dup graph: for each degree (number of
     distinct band-collision partners, 0 included), how many docs have
-    it. Degrees count BOTH directions of the undirected pair set."""
+    it. Degrees count BOTH directions of the undirected pair set.
+
+    r14: candidates from the shared ``q22_pairs`` pin (q22 provides; a
+    raw call builds the documented detect plan). The pin feeds a union
+    and an aggregate — no pre-shuffle join on the pin scan, so no
+    strategy hint is needed (the zero-degree left join sits behind the
+    degree aggregate's exchange, where AQE plans from real sizes)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_signatures(docs))
+    pairs = cand_pairs(spark, sf_dir)
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.stable import dsum, dsum_expr
 from ..sources.readers import load_table
 from ._stage_cache import consume, provide
-from .dedup import _CAND_CTE, _candidate_pairs, _signatures
+from .dedup import _CAND_CTE, cand_pairs
 
 # Propagation + one pointer jump per round reaches the component min
 # in ~log2(component size) rounds (measured: a 57.7k-node giant
@@ -183,12 +183,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 def _cc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared detect→cluster stage: CC labels (node, label) over
-    the MinHash band-collision candidate graph. Signatures are
-    checkpointed because the union inside connected_components has two
-    branches and each would otherwise re-run the shingle→minhash
-    stage (dedup.q22 doc)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _candidate_pairs(_signatures(docs).localCheckpoint())
+    the MinHash band-collision candidate graph. r14: the pairs come
+    from the shared ``q22_pairs`` stage (dedup.cand_pairs — itself
+    checkpointed, so the CC union's two branches read one materialized
+    edge set either way; inside sharing() the detect stage is computed
+    once per session instead of once per cc_labels rebuild)."""
+    pairs = cand_pairs(spark, sf_dir)
     return connected_components(pairs)
 
 

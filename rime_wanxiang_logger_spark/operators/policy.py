@@ -98,7 +98,6 @@ from .dedup import (
     _P,
     _SHINGLES_DUCK,
     _SHINGLES_SPARK,
-    _candidate_pairs,
     _signatures,
     q52_winnowing,
 )
@@ -266,7 +265,18 @@ def q103_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     indicts) the band threshold q22's candidates are cut at."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _signatures(docs).localCheckpoint()
-    pairs = _candidate_pairs(sig)
+    # r14: candidates and hashed shingle sets from the shared stages
+    # (q22_pairs / q24_shingle_sets — dedup.cand_pairs doc); the exact
+    # intersection is a JVM array_intersect over two array cells (the
+    # q24 r14 note: one shingle pass instead of three, no per-shingle
+    # join, identical integer counts feeding the same fixed-point
+    # arithmetic). Every join here takes a checkpoint scan directly,
+    # so all strategies are pinned (STATS HAZARD): shuffle-hash with
+    # the narrow per-doc side as build.
+    from .dedup import cand_pairs, shingle_sets
+
+    pairs = cand_pairs(spark, sf_dir)
+    sets = shingle_sets(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(N_HASHES)],
@@ -279,35 +289,23 @@ def q103_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
         for s in range(N_HASHES)
     ).cast("bigint")
-    from .dedup import _H32_SPARK, _shingled
-
-    sh = (
-        _shingled(docs)
-        .withColumn("h", F.expr(_H32_SPARK).cast("bigint"))
-        .select("doc_id", "h")
-        .distinct()
+    ha = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    hb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
     )
-    n_i = F.coalesce("n_inter", F.lit(0))
     per_pair = (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
+        pairs.join(ha.hint("shuffle_hash"), "doc_a")
+        .join(hb.hint("shuffle_hash"), "doc_b")
+        .join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .withColumn(
+            "n_inter_z",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint"),
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter_z", n_i)
+        .withColumn("n_a", F.size("hs_a").cast("bigint"))
+        .withColumn("n_b", F.size("hs_b").cast("bigint"))
         .select(
             agree.alias("agree"),
             F.expr(
