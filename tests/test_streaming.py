@@ -900,3 +900,32 @@ def test_decontaminate_stream_parity(spark, tmp_path):
         assert batch  # non-vacuous: the increment contains contamination
     finally:
         q.stop()
+
+
+def test_stream_state_width_scope_pins_and_restores_conf(spark):
+    """The drain scope (extensions._stream_state_width) must pin all
+    three streaming confs — narrow state width, RocksDB provider,
+    changelog checkpointing (r14: the measured ~3 s/bench commit-path
+    win; a silent revert would only resurface as drain-wall drift) —
+    and restore every one of them on exit, so the rest of a session
+    keeps batch-width shuffles and the default provider."""
+    from rime_wanxiang_logger_spark.operators.extensions import (
+        _CHANGELOG_CONF,
+        _PROVIDER_CONF,
+        _ROCKSDB_PROVIDER,
+        STREAM_STATE_PARTITIONS,
+        _stream_state_width,
+    )
+
+    width_key = "spark.sql.shuffle.partitions"
+    before = {
+        width_key: spark.conf.get(width_key),
+        _PROVIDER_CONF: spark.conf.get(_PROVIDER_CONF),
+        _CHANGELOG_CONF: spark.conf.get(_CHANGELOG_CONF, "false"),
+    }
+    with _stream_state_width(spark):
+        assert spark.conf.get(width_key) == str(STREAM_STATE_PARTITIONS)
+        assert spark.conf.get(_PROVIDER_CONF) == _ROCKSDB_PROVIDER
+        assert spark.conf.get(_CHANGELOG_CONF) == "true"
+    for k, v in before.items():
+        assert spark.conf.get(k, "false") == v, k
