@@ -91,9 +91,14 @@ def q79_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     no pre-shuffle join on the pin scan, no strategy hint needed."""
     pairs = cand_pairs(spark, sf_dir)
     # Symmetrize and pin: every round re-reads edges and degrees.
+    # r14: hash-partition by the join key BEFORE the pin (the CC round
+    # shape) — Dataset.checkpoint carries the partitioning into the
+    # LogicalRDD, so each power iteration's edge join exchanges only
+    # the rank side; the O(E) side never re-shuffles.
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
+        .repartition("src")
         .localCheckpoint()
     )
     deg = (
