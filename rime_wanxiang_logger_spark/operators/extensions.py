@@ -712,7 +712,14 @@ def q121_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q25/q119/q121 together; twin.py stays pin-free (the streaming
     # audit rule — see STREAM_STATIC_AUDIT below).
     model = _banding_model(spark, sf_dir)
-    eval_post = eval_band_index(spark, sf_dir, model=model).localCheckpoint()
+    # DISK_ONLY: the eval index carries the vector payload — the
+    # banded_postings size class (r13 corpus-pin posture; heap bounded
+    # at any SF).
+    from pyspark import StorageLevel
+
+    eval_post = eval_band_index(spark, sf_dir, model=model).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     verdicts = decontaminate_stream(
         spark, stream, sf_dir, eval_post=eval_post, model=model
     )

@@ -159,12 +159,19 @@ def q80_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Pin the positioned grams: both the duplicated-gram aggregate and
     # the coverage join read them; without the pin the md5 stage runs
-    # twice (the q22 signature-pinning pattern).
+    # twice (the q22 signature-pinning pattern). DISK_ONLY (r14): this
+    # is an EXPLODED-text-volume checkpoint — ~one 44-byte row per
+    # token of the corpus — the same size class as the q52_fps pin
+    # whose default-level wrapper objects caused the r13 sf80 memory
+    # cliff (_stage_cache._ckpt_level); serialized UnsafeRows bound
+    # the heap at any SF and small inputs stay in the OS page cache.
+    from pyspark import StorageLevel
+
     grams = (
         fanout(docs)
         .select("doc_id", F.explode(F.expr(_POS_GRAMS_SPARK)).alias("e"))
         .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     dup_grams = (
         grams.groupBy("g")

@@ -533,9 +533,15 @@ def dedup_admit_stream(
     # not lazily inside the width-8 stream scope. In production this
     # is the nightly-refreshed persisted band table (docstring above);
     # the pin is that table's session-local stand-in.
+    # DISK_ONLY (r14): corpus-proportional checkpoint — the r13
+    # corpus-pin posture (_stage_cache._ckpt_level) applied to the
+    # standing table; serialized UnsafeRows bound the heap at any SF
+    # and small inputs stay in the OS page cache.
+    from pyspark import StorageLevel
+
     corpus_bands = _bands(
         _signatures(load_table(spark, sf_dir, "documents"))
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     new_bands = _bands(_signatures(new_docs))
     cand = (
         new_bands.alias("n")
@@ -638,7 +644,13 @@ def decontaminate_stream(
         # width. In production this is the persisted benchmark index;
         # the pin is its session-local stand-in.
         eval_post = eval_band_index(spark, sf_dir, model=model)
-        eval_post = eval_post.localCheckpoint()
+        # DISK_ONLY: the eval index carries the vector payload — the
+        # banded_postings size class (see the corpus_bands note above).
+        from pyspark import StorageLevel
+
+        eval_post = eval_post.localCheckpoint(
+            storageLevel=StorageLevel.DISK_ONLY
+        )
     planes, need_bits, ext_bits = model
     probe = (
         _band_postings(new_vecs, planes, need_bits, ext_bits, with_vec=True)
