@@ -311,12 +311,29 @@ def _pin(
 _CKPT_DIR_SET: tuple[str, str] | None = None
 
 
+#: Auxiliary session caches that must honor :func:`clear`'s contract
+#: (r14: similarity's banding-model memo — scalar model parameters
+#: keyed (applicationId, sf_dir) exactly like pins). Each entry is a
+#: callable taking the same optional sf_dir filter as clear().
+AUX_CLEARERS: list[Callable[[str | None], None]] = []
+
+
+def record_aux(name: str) -> None:
+    """Telemetry hook for auxiliary session-cache reads (the scalar
+    analogue of consume()'s pin-read recording): bench_full.json's
+    consumed_stages then self-describes model-memo reuse too."""
+    if _RECORD is not None:
+        _RECORD.append(name)
+
+
 def clear(sf_dir: str | None = None) -> None:
     """Drop pinned stages — ALL of them, or only those for one
     ``sf_dir``. The escape hatch for callers that violate the
     immutable-sf_dir assumption (module docstring): call after
     rewriting a data dir in place so consumers rebuild instead of
     reading a stale pin."""
+    for fn in AUX_CLEARERS:
+        fn(sf_dir)
     if sf_dir is None:
         _STORE.clear()
         return

@@ -676,7 +676,7 @@ def q121_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         EVAL_MOD,
         EVAL_REM,
-        _banding_model,
+        banding_model,
         eval_band_index,
     )
     from ..sources.readers import load_table
@@ -711,7 +711,10 @@ def q121_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval_band_index) so a sharing session bands the corpus once for
     # q25/q119/q121 together; twin.py stays pin-free (the streaming
     # audit rule — see STREAM_STATIC_AUDIT below).
-    model = _banding_model(spark, sf_dir)
+    # banding_model (r14): memo-reading handle — inside sharing
+    # the corpus-wide sizing pass runs once per session, not per
+    # q121 call (the model triple is deterministic per sf_dir).
+    model = banding_model(spark, sf_dir)
     # DISK_ONLY: the eval index carries the vector payload — the
     # banded_postings size class (r13 corpus-pin posture; heap bounded
     # at any SF).

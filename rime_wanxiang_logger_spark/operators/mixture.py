@@ -165,13 +165,17 @@ def q98_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         labels = cc_labels(spark, sf_dir)
+        # Join strategy pinned (STATS HAZARD, the q85 r14 note): the
+        # cc_labels pin scan reaches this join with no intervening
+        # shuffle and its lying originStats would otherwise let the
+        # static planner broadcast the corpus-proportional pin.
         mem = (
             docs.select("doc_id", "n_chars")
             .join(
                 labels.select(
                     F.col("node").alias("doc_id"),
                     F.col("label").alias("cluster_id"),
-                ),
+                ).hint("shuffle_hash"),
                 "doc_id",
                 "left",
             )

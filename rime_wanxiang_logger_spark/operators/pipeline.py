@@ -358,8 +358,13 @@ def q85_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = cc_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("rep_id")
     )
+    # Join strategy pinned (STATS HAZARD): the cc_labels pin scan
+    # reaches this join with no intervening shuffle and its
+    # originStats lie (r14: the new CC round shape carries a SMALL
+    # estimate, which flipped the static plan to broadcasting the pin
+    # — the audit caught it). Shuffle-hash, labels side as build.
     rep = docs.select("doc_id", "lang", "n_chars").join(
-        labels, "doc_id", "left"
+        labels.hint("shuffle_hash"), "doc_id", "left"
     ).select(
         "doc_id",
         "lang",

@@ -39,7 +39,13 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.stable import davg, davg_expr
 from ..sources.readers import fanout, load_table
-from ._stage_cache import consume, provide
+from ._stage_cache import (
+    AUX_CLEARERS,
+    consume,
+    is_sharing,
+    provide,
+    record_aux,
+)
 
 NEARDUP_THRESHOLD = 0.35
 TOPK = 3
@@ -461,6 +467,45 @@ def neardup_banded(
     return postings.join(
         v.select("vec_id", "v").hint("shuffle_hash"), "vec_id"
     ).select("band_id", "band_key", "sub_key", "vec_id", "v")
+
+
+#: Session-scoped banding-model memo (r14) keyed like the stage pins:
+#: (applicationId, sf_dir). The model triple is DETERMINISTIC per
+#: sf_dir (planes are an ordered parquet collect, need_bits integer-
+#: exact from the sizing counts), so a memo read is value-identical to
+#: a recompute — it only removes the ~1.5 s corpus-wide sizing pass
+#: the admit path (q121 / twin) re-ran per call even when the
+#: banded_postings pin itself was warm. Registered with
+#: _stage_cache.clear() so the immutable-sf_dir escape hatch covers it.
+_MODEL_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _clear_model_memo(sf_dir: str | None) -> None:
+    if sf_dir is None:
+        _MODEL_MEMO.clear()
+        return
+    for k in [k for k in _MODEL_MEMO if k[1] == sf_dir]:
+        del _MODEL_MEMO[k]
+
+
+AUX_CLEARERS.append(_clear_model_memo)
+
+
+def banding_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], dict, int]:
+    """Memo-reading handle on :func:`_banding_model` (see _MODEL_MEMO):
+    inside sharing() the sizing pass runs once per session per sf_dir;
+    a raw call always recomputes (the documented standalone plan)."""
+    if not is_sharing():
+        return _banding_model(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MODEL_MEMO.get(key)
+    if got is None:
+        _MODEL_MEMO[key] = got = _banding_model(spark, sf_dir)
+    else:
+        record_aux("banding_model")
+    return got
 
 
 def _banding_model(

@@ -628,14 +628,14 @@ def decontaminate_stream(
     from ..operators.similarity import (
         NEARDUP_THRESHOLD,
         _band_postings,
-        _banding_model,
         _dot,
         _norm,
+        banding_model,
         eval_band_index,
     )
 
     if model is None:
-        model = _banding_model(spark, sf_dir)
+        model = banding_model(spark, sf_dir)
     if eval_post is None:
         # PIN the standing eval band index (the dedup_admit_stream
         # rule: a stream-static join re-evaluates the static side

@@ -367,3 +367,32 @@ def test_corpus_pins_disk_only_driver_pins_default(spark, sf_dir):
             assert all("memory" in lvl for lvl in fresh.values()), fresh
     finally:
         sc.clear()
+
+
+def test_banding_model_memo_scoped_to_sharing_and_cleared(spark, sf_dir):
+    """r14: the banding model (planes, need_bits, ext_bits) is the
+    scalar twin of the banded_postings pin — deterministic per sf_dir,
+    so inside sharing() the corpus-wide sizing pass runs once per
+    session; a raw call always recomputes, and _stage_cache.clear()
+    (the immutable-sf_dir escape hatch) drops the memo too."""
+    import rime_wanxiang_logger_spark.operators._stage_cache as sc
+    from rime_wanxiang_logger_spark.operators import similarity as sim
+
+    sc.clear()
+    try:
+        with sc.sharing():
+            m1 = sim.banding_model(spark, sf_dir)
+            assert sim._MODEL_MEMO, "sharing call did not populate memo"
+            m2 = sim.banding_model(spark, sf_dir)
+            assert m2 is m1, "memo not reused within the sharing session"
+            # value-identical to a fresh compute (determinism claim)
+            planes, need_bits, ext_bits = sim._banding_model(spark, sf_dir)
+            assert m1[0] == planes and m1[1] == need_bits
+            assert m1[2] == ext_bits
+        # raw (non-sharing) calls bypass the memo entirely
+        m3 = sim.banding_model(spark, sf_dir)
+        assert m3 is not m1 and m3[1] == m1[1]
+        sc.clear(sf_dir)
+        assert not [k for k in sim._MODEL_MEMO if k[1] == sf_dir]
+    finally:
+        sc.clear()
