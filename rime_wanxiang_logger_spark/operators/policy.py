@@ -509,8 +509,18 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim = _drop_overcap_fps(fps, over_cal).join(
         band.hint("shuffle_hash"), "fp"
     )
+    # r14 (guide §2.3 — narrower types through the widest stage): the
+    # per-fp verdicts collapse to two 0/1 ints BEFORE the pair
+    # self-join, so the Θ(Σ C(df,2)) pair stream carries (doc_a,
+    # doc_b, ip, ic) instead of (…, df BIGINT, is_content BOOLEAN) and
+    # the pair aggregate sums ints with no per-row CASE. Identical
+    # counts (n_prod = #fps with df ≤ cap either way); measured
+    # 3.61 → 2.70 s on the 3.45M-pair agg stage in one session.
     a = slim.select(
-        F.col("doc_id").alias("doc_a"), "fp", "df", "is_content"
+        F.col("doc_id").alias("doc_a"),
+        "fp",
+        F.when(F.col("df") <= FP_DF_CAP, 1).otherwise(0).alias("ip"),
+        F.when(F.col("is_content"), 1).otherwise(0).alias("ic"),
     )
     b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
     pairs = (
@@ -520,12 +530,8 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_cal"),
-            F.sum(
-                F.when(F.col("df") <= FP_DF_CAP, 1).otherwise(0)
-            ).alias("n_prod"),
-            F.sum(F.when(F.col("is_content"), 1).otherwise(0)).alias(
-                "n_content"
-            ),
+            F.sum("ip").alias("n_prod"),
+            F.sum("ic").alias("n_content"),
         )
     )
     agg = pairs.agg(
