@@ -105,32 +105,82 @@ _CHANGELOG_CONF = (
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 )
 
+#: No-data micro-batch suppression inside the drain scope (r15, guide
+#: §1 — measured, the single largest remaining drain fixed cost). An
+#: availableNow drain of a WATERMARKED query runs one extra no-data
+#: micro-batch after the last data batch purely to advance the
+#: watermark and evict state that is about to die with the query
+#: anyway: batch-count decomposition (scripts/profile_drains_r15.py,
+#: StreamingQueryListener) showed q92/q106/q121 each paying a 0.5–0.9 s
+#: batch 1 with numInputRows=0. Every drained RESULT is identical by
+#: construction: the update-mode aggregates (q92/q121) emit each
+#: verdict in the batch that delivered the doc, the inner stream-stream
+#: join (q106) emits on match, and the applyInPandasWithState twins
+#: (q107/q110) use NoTimeout so a no-data batch can never emit —
+#: re-proven against every batch oracle (streaming parity suite +
+#: oracle sweep). The conf is scoped: a CONTINUOUS production stream
+#: keeps the default (no-data batches are how watermarks advance
+#: through quiet periods); a bounded backfill drain has no quiet
+#: period to bridge.
+_NODATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+#: RocksDB row tracking off inside the drain scope (r15, guide §5):
+#: with tracking on, every state-store put/delete pays a point lookup
+#: first just to maintain the numTotalStateRows METRIC — a
+#: read-amplification tax on the write path, linear in the batch's
+#: state writes at any scale. Documented RocksDB state-store tuning
+#: knob; results are unaffected (the metric reads -1). Measured
+#: together with _NODATA_CONF: the seven drains' same-session
+#: best-of-2 sum fell 12.76 → 10.57 s (q92 2.33→1.80, q106 2.67→1.93,
+#: q121 2.61→1.87); trackrows alone 12.76 → 12.29.
+_TRACKROWS_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+)
+
 
 class _stream_state_width:
     """Scope the session's shuffle width down to the streaming state
-    width — and the state store to RocksDB — for the duration of a
-    drain, restoring both afterwards (the rest of the bench keeps the
+    width — and the state store to RocksDB (changelog commits, no
+    no-data batch, no row tracking) — for the duration of a drain,
+    restoring everything afterwards (the rest of the bench keeps the
     batch-sized 32 and the default provider)."""
+
+    #: (conf key, pinned value, default-when-unset) — every drain conf
+    #: in one place so __enter__/__exit__ and the pin/restore test
+    #: cannot drift apart.
+    _PINNED: tuple[tuple[str, str, str | None], ...] = (
+        ("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS), None),
+        (_PROVIDER_CONF, _ROCKSDB_PROVIDER, None),
+        # explicit fallbacks: unlike providerClass these confs have no
+        # retrievable default on a vanilla session (conf.get throws)
+        (_CHANGELOG_CONF, "true", "false"),
+        (_NODATA_CONF, "false", "true"),
+        (_TRACKROWS_CONF, "false", "true"),
+    )
 
     def __init__(self, spark: SparkSession):
         self._spark = spark
 
     def __enter__(self):
-        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
-        self._spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-        )
-        self._old_provider = self._spark.conf.get(_PROVIDER_CONF)
-        self._spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
-        # explicit fallback: unlike providerClass this conf has no
-        # retrievable default on a vanilla session (conf.get throws)
-        self._old_changelog = self._spark.conf.get(_CHANGELOG_CONF, "false")
-        self._spark.conf.set(_CHANGELOG_CONF, "true")
+        # No-default conf.get resolves Spark's built-in default (the
+        # provider class, the shuffle width); the explicit-default form
+        # is reserved for confs where conf.get would otherwise throw —
+        # passing None there would later restore a null (measured:
+        # IllegalArgumentException on exit in a vanilla session).
+        self._old = {
+            key: (
+                self._spark.conf.get(key)
+                if default is None
+                else self._spark.conf.get(key, default)
+            )
+            for key, _, default in self._PINNED
+        }
+        for key, value, _ in self._PINNED:
+            self._spark.conf.set(key, value)
 
     def __exit__(self, *exc):
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
-        self._spark.conf.set(_PROVIDER_CONF, self._old_provider)
-        self._spark.conf.set(_CHANGELOG_CONF, self._old_changelog)
+        for key, old in self._old.items():
+            self._spark.conf.set(key, old)
         return False
 
 

@@ -904,15 +904,19 @@ def test_decontaminate_stream_parity(spark, tmp_path):
 
 def test_stream_state_width_scope_pins_and_restores_conf(spark):
     """The drain scope (extensions._stream_state_width) must pin all
-    three streaming confs — narrow state width, RocksDB provider,
+    five streaming confs — narrow state width, RocksDB provider,
     changelog checkpointing (r14: the measured ~3 s/bench commit-path
-    win; a silent revert would only resurface as drain-wall drift) —
-    and restore every one of them on exit, so the rest of a session
-    keeps batch-width shuffles and the default provider."""
+    win), no-data-batch suppression and row-tracking off (r15: the
+    measured 12.76 → 10.57 s drain-sum win; a silent revert would only
+    resurface as drain-wall drift) — and restore every one of them on
+    exit, so the rest of a session keeps batch-width shuffles, the
+    default provider, and production no-data-batch semantics."""
     from rime_wanxiang_logger_spark.operators.extensions import (
         _CHANGELOG_CONF,
+        _NODATA_CONF,
         _PROVIDER_CONF,
         _ROCKSDB_PROVIDER,
+        _TRACKROWS_CONF,
         STREAM_STATE_PARTITIONS,
         _stream_state_width,
     )
@@ -922,10 +926,14 @@ def test_stream_state_width_scope_pins_and_restores_conf(spark):
         width_key: spark.conf.get(width_key),
         _PROVIDER_CONF: spark.conf.get(_PROVIDER_CONF),
         _CHANGELOG_CONF: spark.conf.get(_CHANGELOG_CONF, "false"),
+        _NODATA_CONF: spark.conf.get(_NODATA_CONF, "true"),
+        _TRACKROWS_CONF: spark.conf.get(_TRACKROWS_CONF, "true"),
     }
     with _stream_state_width(spark):
         assert spark.conf.get(width_key) == str(STREAM_STATE_PARTITIONS)
         assert spark.conf.get(_PROVIDER_CONF) == _ROCKSDB_PROVIDER
         assert spark.conf.get(_CHANGELOG_CONF) == "true"
+        assert spark.conf.get(_NODATA_CONF) == "false"
+        assert spark.conf.get(_TRACKROWS_CONF) == "false"
     for k, v in before.items():
-        assert spark.conf.get(k, "false") == v, k
+        assert spark.conf.get(k, "sentinel-unset") == v, k
