@@ -382,6 +382,35 @@ def q104_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q105_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q105's capped posting list, PRE-checkpoint (the plan the salted
+    anti-join audit inspects — the checkpoint in q105 hides this
+    subtree from the final query plan).
+
+    The cap verdict: aggregate fp→df first (map-side combined — a
+    hot fp collapses to one partial row per map task, so the COUNT
+    is never skewed), keep only the OVER-cap fps. r12: the former
+    kept-fp membership join (r11's shuffle-hash of fps against
+    df_ok) still shuffled the RAW posting list by bare fp, so the
+    hottest fingerprint's ~4M sf80 postings serialized through one
+    task (64 MB — under AQE's skew-split threshold, growing with
+    max-df at 4×/decade: the one named-but-unlanded scale defect of
+    the r11 verdict). Inverted + salted per the FP_SALTS note:
+    postings anti-join the over-cap list on (fp, salt), spreading
+    every hot fp over FP_SALTS tasks; survivors have df ≤ FP_DF_CAP
+    so the pair self-join is skew-free by construction."""
+    fps = consume(
+        spark, "q52_fps", sf_dir, lambda: q52_winnowing(spark, sf_dir)
+    )
+    over = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > FP_DF_CAP)
+        .select("fp")
+    )
+    return _drop_overcap_fps(fps, over)
+
+
 def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap candidates from winnowing fingerprints: doc
     pairs sharing >= MIN_SHARED_FPS selected k-gram hashes — copied
@@ -398,28 +427,21 @@ def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin (q52 is the provider) — in a sharing session the overlap join
     starts from the pinned index instead of re-winnowing the corpus;
     a raw call still builds the full documented plan."""
-    fps = consume(
-        spark, "q52_fps", sf_dir, lambda: q52_winnowing(spark, sf_dir)
+    # r15 (guide §2.4): materialize the capped posting list ONCE. The
+    # self-join's two branches each re-planned the whole df-agg +
+    # salted-anti-join subtree (no exchange/stage reuse fires across
+    # them: the branches' aliases and pruned columns differ, and
+    # checkpoint-scan leaves never canonicalize equal — verified
+    # empirically), i.e. two full posting passes where one suffices.
+    # Lazy so raw plan construction stays job-free (ADVICE r14);
+    # DISK_ONLY per the corpus-width checkpoint posture (r13). The
+    # pre-checkpoint plan stays a named helper so the salted-anti-join
+    # plan audit keeps seeing it (tests/test_plans.py).
+    from pyspark import StorageLevel
+
+    slim = _q105_capped_postings(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
-    # The cap verdict: aggregate fp→df first (map-side combined — a
-    # hot fp collapses to one partial row per map task, so the COUNT
-    # is never skewed), keep only the OVER-cap fps. r12: the former
-    # kept-fp membership join (r11's shuffle-hash of fps against
-    # df_ok) still shuffled the RAW posting list by bare fp, so the
-    # hottest fingerprint's ~4M sf80 postings serialized through one
-    # task (64 MB — under AQE's skew-split threshold, growing with
-    # max-df at 4×/decade: the one named-but-unlanded scale defect of
-    # the r11 verdict). Inverted + salted per the FP_SALTS note:
-    # postings anti-join the over-cap list on (fp, salt), spreading
-    # every hot fp over FP_SALTS tasks; survivors have df ≤ FP_DF_CAP
-    # so the pair self-join below is skew-free by construction.
-    over = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > FP_DF_CAP)
-        .select("fp")
-    )
-    slim = _drop_overcap_fps(fps, over)
     a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
     b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
     # The posting-list self-join is big x big by construction — pinned
@@ -432,6 +454,94 @@ def q105_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= MIN_SHARED_FPS)
     )
+
+
+def _q117_capped_postings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """q117's verdict-carrying calibration posting list PRE-checkpoint,
+    plus the (checkpointed) per-fp stats frame its verdicts derive
+    from — split out so the salted-anti-join plan audit keeps seeing
+    this subtree (the checkpoint in q117 hides it from the final query
+    plan). Returns ``(postings, fpstat)``."""
+    from .mixture import BOILER_MIN_DF, BOILER_MIN_SOURCES
+
+    # r8: same q52_fps stage pin as q105 (q52 provides).
+    fps = consume(
+        spark, "q52_fps", sf_dir, lambda: q52_winnowing(spark, sf_dir)
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # q99's two-level source-count: (fp, source) partials, then per-fp
+    # totals — no countDistinct Expand over the posting volume. Join
+    # strategy PINNED (r9): fps is the checkpoint-pinned posting list
+    # whose LogicalRDD originStats UNDERSTATE its size by orders of
+    # magnitude (8.1 MiB claimed vs GB actual at sf5), and the
+    # stats-based planner chose BuildLeft — broadcasting the ENTIRE
+    # posting list — which OOM-crashed the driver on the first raw
+    # sf5 run this query ever got. Both sides are corpus-proportional;
+    # shuffle-join by construction (q91 rule, plan test pins it).
+    # r11: shuffle-hash with the one-row-per-doc src side as build —
+    # hint("merge") sorted the raw posting list, whose boilerplate
+    # fingerprints skew the hash partitions (q105's measured sf80
+    # sort/spill tail); SHJ streams the postings, sorts nothing.
+    by_src = (
+        fps.join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs_src"))
+    )
+    # r15 (guide §2.4): fpstat — one narrow row per fingerprint — used
+    # to be PLANNED THREE TIMES (the band branch, the over_cal anti-join
+    # branch, and the n_overcal_fps tail), each a full posting pass +
+    # src join + two-level aggregate; the self-join in q117 then
+    # doubled two of those. Materialize it once (lazy: raw plan
+    # construction stays job-free — ADVICE r14; DISK_ONLY:
+    # corpus-proportional, the r13 checkpoint posture).
+    from pyspark import StorageLevel
+
+    fpstat = (
+        by_src.groupBy("fp")
+        .agg(
+            F.sum("n_docs_src").alias("df"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    band = fpstat.where(F.col("df") <= CAL_DF_CAP).select(
+        "fp",
+        "df",
+        (
+            (F.col("df") <= FP_DF_CAP)
+            | ~(
+                (F.col("df") >= BOILER_MIN_DF)
+                & (F.col("n_sources") >= BOILER_MIN_SOURCES)
+            )
+        ).alias("is_content"),
+    )
+    # r12: drop the over-calibration tail FIRST via the salted
+    # anti-join (FP_SALTS note — the former direct fps⋈band join
+    # shuffled raw postings by bare fp, q105's measured skew tail).
+    # Survivors have df ≤ CAL_DF_CAP, so attaching the band verdict
+    # by bare fp is skew-free (per-key mass ≤ CAL_DF_CAP postings);
+    # shuffle-hash stays pinned with the one-row-per-fp band side as
+    # build (checkpoint stats lie; the q117 OOM rule).
+    over_cal = fpstat.where(F.col("df") > CAL_DF_CAP).select("fp")
+    # r14 (guide §2.3 — narrower types through the widest stage): the
+    # per-fp verdicts collapse to two 0/1 ints BEFORE the pair
+    # self-join, so the Θ(Σ C(df,2)) pair stream carries (doc_a,
+    # doc_b, ip, ic) instead of (…, df BIGINT, is_content BOOLEAN) and
+    # the pair aggregate sums ints with no per-row CASE. Identical
+    # counts (n_prod = #fps with df ≤ cap either way).
+    postings = (
+        _drop_overcap_fps(fps, over_cal)
+        .join(band.hint("shuffle_hash"), "fp")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("df") <= FP_DF_CAP, 1).otherwise(0).alias("ip"),
+            F.when(F.col("is_content"), 1).otherwise(0).alias("ic"),
+        )
+    )
+    return postings, fpstat
 
 
 def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,69 +568,20 @@ def q117_winnow_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_overcal_fps`` counts the deliberately-unjoined tail
     (df > 10×cap — definitionally boilerplate, quadratic to join).
     """
-    from .mixture import BOILER_MIN_DF, BOILER_MIN_SOURCES
-
-    # r8: same q52_fps stage pin as q105 (q52 provides).
-    fps = consume(
-        spark, "q52_fps", sf_dir, lambda: q52_winnowing(spark, sf_dir)
-    )
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    # q99's two-level source-count: (fp, source) partials, then per-fp
-    # totals — no countDistinct Expand over the posting volume. Join
-    # strategy PINNED (r9): fps is the checkpoint-pinned posting list
-    # whose LogicalRDD originStats UNDERSTATE its size by orders of
-    # magnitude (8.1 MiB claimed vs GB actual at sf5), and the
-    # stats-based planner chose BuildLeft — broadcasting the ENTIRE
-    # posting list — which OOM-crashed the driver on the first raw
-    # sf5 run this query ever got. Both sides are corpus-proportional;
-    # shuffle-join by construction (q91 rule, plan test pins it).
-    # r11: shuffle-hash with the one-row-per-doc src side as build —
-    # hint("merge") sorted the raw posting list, whose boilerplate
-    # fingerprints skew the hash partitions (q105's measured sf80
-    # sort/spill tail); SHJ streams the postings, sorts nothing.
-    by_src = (
-        fps.join(src.hint("shuffle_hash"), "doc_id")
-        .groupBy("fp", "source")
-        .agg(F.count(F.lit(1)).alias("n_docs_src"))
-    )
-    fpstat = by_src.groupBy("fp").agg(
-        F.sum("n_docs_src").alias("df"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
-    band = fpstat.where(F.col("df") <= CAL_DF_CAP).select(
-        "fp",
-        "df",
-        (
-            (F.col("df") <= FP_DF_CAP)
-            | ~(
-                (F.col("df") >= BOILER_MIN_DF)
-                & (F.col("n_sources") >= BOILER_MIN_SOURCES)
-            )
-        ).alias("is_content"),
-    )
-    # r12: drop the over-calibration tail FIRST via the salted
-    # anti-join (FP_SALTS note — the former direct fps⋈band join
-    # shuffled raw postings by bare fp, q105's measured skew tail).
-    # Survivors have df ≤ CAL_DF_CAP, so attaching the band verdict
-    # by bare fp is skew-free (per-key mass ≤ CAL_DF_CAP postings);
-    # shuffle-hash stays pinned with the one-row-per-fp band side as
-    # build (checkpoint stats lie; the q117 OOM rule).
-    over_cal = fpstat.where(F.col("df") > CAL_DF_CAP).select("fp")
-    slim = _drop_overcap_fps(fps, over_cal).join(
-        band.hint("shuffle_hash"), "fp"
-    )
-    # r14 (guide §2.3 — narrower types through the widest stage): the
-    # per-fp verdicts collapse to two 0/1 ints BEFORE the pair
-    # self-join, so the Θ(Σ C(df,2)) pair stream carries (doc_a,
-    # doc_b, ip, ic) instead of (…, df BIGINT, is_content BOOLEAN) and
-    # the pair aggregate sums ints with no per-row CASE. Identical
-    # counts (n_prod = #fps with df ≤ cap either way); measured
-    # 3.61 → 2.70 s on the 3.45M-pair agg stage in one session.
+    # r15: the postings themselves are deliberately NOT checkpointed —
+    # a measured rejection (guide §1.2 feedback loop). Checkpointing
+    # them would build the anti-join + band-attach subtree once instead
+    # of twice, but the same-session A/B read 4.7–5.1 s vs 3.6–4.1 s
+    # for the duplicated form: the two branches execute CONCURRENTLY
+    # inside one job (idle cores absorb the duplicate), while the
+    # checkpoint serializes a corpus-width CAL-capped posting write
+    # before the join can start. fpstat's checkpoint (inside
+    # _q117_capped_postings) is the part that pays: narrow rows, three
+    # consumers, measured 3.63→2.82 s same-session.
+    postings, fpstat = _q117_capped_postings(spark, sf_dir)
+    slim = postings
     a = slim.select(
-        F.col("doc_id").alias("doc_a"),
-        "fp",
-        F.when(F.col("df") <= FP_DF_CAP, 1).otherwise(0).alias("ip"),
-        F.when(F.col("is_content"), 1).otherwise(0).alias("ic"),
+        F.col("doc_id").alias("doc_a"), "fp", "ip", "ic"
     )
     b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
     pairs = (
