@@ -175,6 +175,19 @@ STAGES: dict[str, dict] = {
     # doc, array bounded by doc length — the same memory class as the
     # doc text itself.
     "q24_shingle_sets": {"size": "corpus", "scan_sig": ("doc_id", "hs")},
+    # r15 (the r14 verdict's deferred q44 item): the cell-keyed scored
+    # corpus — assignment ⋈ vectors with precomputed norms,
+    # hash-partitioned at the session's shuffle width — IS the IVF
+    # index layout an ANN deployment persists (each posting list
+    # co-located with its vectors). Pinning it removes the per-call
+    # corpus-wide vec_id join + repartition from warm q44 calls; the
+    # honest rebuild cost stays recorded via STAGE_CONSUMERS /
+    # bench_nosharing. DISK_ONLY via the corpus size class (the 64-dim
+    # vector payload never lives in heap — r13 posture).
+    "q44_ivf_corpus": {
+        "size": "corpus",
+        "scan_sig": ("n_id", "cell", "vc", "nc"),
+    },
 }
 
 

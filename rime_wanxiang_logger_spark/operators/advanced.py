@@ -311,24 +311,36 @@ def q44_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width and the exchange of the group-limited top-k survivors.
     qp = probes.join(q, "q_id")  # q_id, cell, vq, nq
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    corpus = (
-        assign.join(v, "vec_id")
-        .select(
-            F.col("vec_id").alias("n_id"),
-            "cell",
-            F.col("v").alias("vc"),
-            _norm("v").alias("nc"),
-        )
-        # Explicit width for the scoring stage: AQE's size-based
-        # coalescing sees only the (small) assign ⋈ v shuffle and is
-        # blind to the ×(probes-per-cell) row fan-out of the broadcast
-        # join that follows — at sf20 it collapsed the entire
-        # candidate scoring onto ONE task (a 26-task stage with one
-        # 400-second straggler). REPARTITION_BY_NUM is exempt from
-        # coalescing, so the stage runs at the session's configured
-        # shuffle width; the exchange itself is one corpus-narrow
-        # pass, already dwarfed by the join it follows.
-        .repartition(n_parts, "n_id")
+    # r15 (the r14 verdict's deferred item): the cell-keyed scored
+    # corpus is the IVF index layout itself (posting lists co-located
+    # with their vectors + norms) — pinned per session like the
+    # assignment and centroids, so a warm q44 call probes the index
+    # instead of re-running the corpus-wide vec_id join + repartition.
+    corpus = consume(
+        spark,
+        "q44_ivf_corpus",
+        sf_dir,
+        lambda: (
+            assign.join(v, "vec_id")
+            .select(
+                F.col("vec_id").alias("n_id"),
+                "cell",
+                F.col("v").alias("vc"),
+                _norm("v").alias("nc"),
+            )
+            # Explicit width for the scoring stage: AQE's size-based
+            # coalescing sees only the (small) assign ⋈ v shuffle and is
+            # blind to the ×(probes-per-cell) row fan-out of the broadcast
+            # join that follows — at sf20 it collapsed the entire
+            # candidate scoring onto ONE task (a 26-task stage with one
+            # 400-second straggler). REPARTITION_BY_NUM is exempt from
+            # coalescing, so the stage runs at the session's configured
+            # shuffle width; the exchange itself is one corpus-narrow
+            # pass, already dwarfed by the join it follows. The
+            # partitioning rides the pin (checkpoint preserves it), so
+            # warm calls inherit the fan-out guard too.
+            .repartition(n_parts, "n_id")
+        ),
     )
     scored = (
         corpus.join(F.broadcast(qp), "cell")
