@@ -172,7 +172,11 @@ def _candidate_pairs(sig: DataFrame) -> DataFrame:
 
 def _cand_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return _candidate_pairs(_signatures(docs).localCheckpoint())
+    # lazy (ADVICE r14): an eager checkpoint here launched a Spark job
+    # during RAW plan construction for every q22_pairs consumer; the
+    # signature blocks now materialize with whichever action touches
+    # the pair plan first.
+    return _candidate_pairs(_signatures(docs).localCheckpoint(eager=False))
 
 
 def cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

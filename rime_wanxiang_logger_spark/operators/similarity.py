@@ -504,8 +504,16 @@ def banding_model(
     if got is None:
         _MODEL_MEMO[key] = got = _banding_model(spark, sf_dir)
     else:
-        record_aux("banding_model")
-    return got
+        # "aux:" namespace (ADVICE r14): consumed_stages telemetry
+        # stays resolvable — STAGES keys never collide with aux names.
+        record_aux("aux:banding_model")
+    # Defensive copy (ADVICE r14): the memo holds mutable lists/dicts;
+    # handing the stored object out would let one consumer's in-place
+    # mutation silently poison every later q121/twin/eval call in the
+    # session. Copies are trivial (~10k floats) next to the 1.5 s
+    # sizing pass the memo removes.
+    planes, need_bits, ext_bits = got
+    return [list(p) for p in planes], dict(need_bits), ext_bits
 
 
 def _banding_model(

@@ -384,7 +384,15 @@ def test_banding_model_memo_scoped_to_sharing_and_cleared(spark, sf_dir):
             m1 = sim.banding_model(spark, sf_dir)
             assert sim._MODEL_MEMO, "sharing call did not populate memo"
             m2 = sim.banding_model(spark, sf_dir)
-            assert m2 is m1, "memo not reused within the sharing session"
+            # r15 (ADVICE r14): memo reads hand out DEFENSIVE COPIES —
+            # same values, never the stored mutable object, so one
+            # consumer's in-place mutation can't poison later calls.
+            assert m2 == m1, "memo not reused within the sharing session"
+            assert m2[0] is not m1[0] and m2[1] is not m1[1]
+            m2[0][0][0] += 1.0e9  # mutate a copy...
+            m2[1].clear()
+            m_after = sim.banding_model(spark, sf_dir)
+            assert m_after == m1, "memo poisoned by consumer mutation"
             # value-identical to a fresh compute (determinism claim)
             planes, need_bits, ext_bits = sim._banding_model(spark, sf_dir)
             assert m1[0] == planes and m1[1] == need_bits
