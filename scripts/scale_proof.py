@@ -143,6 +143,13 @@ SECOND_POINT = [
     "q93_edit_verify",
     "q97_containment",
     "q52_winnowing",
+    # r15 (judge r14 #8): the array-intersect verify shape (r14's
+    # q24/q97/q103 rewrite) had no decade evidence above sf0.1 — the
+    # per-doc hashed-shingle array cells are bounded by doc length,
+    # but a giant-doc skew cliff in array_intersect was never
+    # measured. q24 joins q97 (already a member) on the sf5/sf20
+    # ladder; both rows re-recorded under the new shape.
+    "q24_ngram_jaccard",
     # r11: q53 (MinHash-pair CC closure) carried only the first decade
     # while its embedding twin q72 is four-decade-proven; the CC
     # family's batch representative joins the full ladder.
