@@ -690,8 +690,19 @@ def q118_admit_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(docs).localCheckpoint()
     bands = _bands(sig)
     new_pred = (F.col("doc_id") % INCR_MOD) == F.lit(INCR_REM)
-    occ = bands.groupBy("band", "bsig").agg(
-        F.count(F.lit(1)).alias("occ")
+    # r15 (guide §2.4, the q117-fpstat pattern): the occupancy table —
+    # one narrow row per (band, bsig) bucket — was planned THREE times
+    # (qualifying filter, over-cal tail count, saturated-probe count);
+    # one lazy DISK_ONLY checkpoint feeds all three. Local wall is flat
+    # (same-session A/B 1.50/1.43 vs 1.52/1.42 s after warm-up — the
+    # duplicate builds ran concurrently on idle cores), the win is the
+    # 3x->1x occupancy aggregate volume at scale; values unchanged.
+    from pyspark import StorageLevel
+
+    occ = (
+        bands.groupBy("band", "bsig")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     corpus_qual = bands.alias("c").join(
         occ.where(F.col("occ") <= ADMIT_CAL_CAP), ["band", "bsig"]
